@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Canonical input tables for the transcript feature engine.
+  *
+  * The engine's native input is an Iceberg-style table of multi-turn
+  * conversation transcripts `(conv_id, turn_idx, role, text, tool, ts)`
+  * (BASELINE.json `input_hint`). In this sandbox the table is derived
+  * deterministically from the driver's `events.parquet` so that the DuckDB
+  * oracle can reproduce it from the very same parquet with the very same
+  * SQL (see [[Oracle.turnsCte]]). The derivation itself is plain ingest
+  * normalization — the analog of musiF's parse/normalize stage
+  * (reference: musif/extract/extract.py:44-98).
+  *
+  * Scale note: at 100 TB the turns table would be stored already
+  * range-partitioned by `conv_id` and sorted by `(conv_id, turn_idx)`
+  * inside files; the derivation window below exists only to synthesize
+  * that table from the sandbox fixture. Engine operators take any
+  * DataFrame of this shape.
+  */
+object Tables {
+
+  /** Rows with event_id % 7 == 0 become the `state` side-table; the rest
+    * are turns. This interleaves state and turn timestamps per
+    * conversation, exercising the as-of join (musiF's per-beat harmonic
+    * annotation alignment, musif/extract/features/scale_relative/utils.py:109-126).
+    */
+  val StateMod = 7
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private def convId = concat(lit("c"), lpad(col("user_id").cast("string"), 6, "0"))
+
+  /** The canonical turns table. Deterministic: (ts, event_id) is a total
+    * order within each conversation.
+    */
+  def turns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .filter(col("event_id") % StateMod =!= 0)
+      .select(
+        convId.as("conv_id"),
+        (row_number().over(w) - 1).cast("int").as("turn_idx"),
+        when(col("event_type") === "click", "user")
+          .when(col("event_type") === "view", "assistant")
+          .when(col("event_type") === "signup", "system")
+          .when(col("event_type") === "purchase", "assistant")
+          .otherwise("tool").as("role"),
+        concat_ws(":", col("event_type"), col("event_id").cast("string"), col("props")).as("text"),
+        when(col("event_type").isin("error", "purchase"),
+          concat(lit("tool_"), (col("event_id") % 4).cast("string")))
+          .otherwise(lit(null).cast("string")).as("tool"),
+        col("ts"))
+  }
+
+  /** Per-entity state-change side table (as-of join right side); the
+    * transcript analog of the ms3 harmonic annotation table
+    * (musif/extract/utils.py:20-56).
+    */
+  def state(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_id") % StateMod === 0)
+      .select(
+        convId.as("conv_id"),
+        col("ts"),
+        concat_ws("_", col("event_type"), (col("event_id") % 10).cast("string")).as("state_val"))
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+}
+
+/** DuckDB-dialect CTE bodies reproducing [[Tables]] — prepended to every
+  * oracle SQL so the driver's DuckDB run sees exactly the tables the Spark
+  * queries consume.
+  */
+object Oracle {
+  val turnsCte: String =
+    """turns AS (
+      |  SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+      |         CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+      |              WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant'
+      |              ELSE 'tool' END AS role,
+      |         event_type || ':' || CAST(event_id AS VARCHAR) || ':' || props AS text,
+      |         CASE WHEN event_type IN ('error','purchase')
+      |              THEN 'tool_' || CAST(event_id % 4 AS VARCHAR) END AS tool,
+      |         ts
+      |  FROM events WHERE event_id % 7 <> 0
+      |)""".stripMargin
+
+  val stateCte: String =
+    """state AS (
+      |  SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+      |         ts,
+      |         event_type || '_' || CAST(event_id % 10 AS VARCHAR) AS state_val
+      |  FROM events WHERE event_id % 7 = 0
+      |)""".stripMargin
+
+  /** `WITH turns AS (...) <body>` */
+  def withTurns(body: String): String = s"WITH $turnsCte\n$body"
+
+  /** `WITH turns AS (...), state AS (...) <body>` */
+  def withTurnsAndState(body: String): String = s"WITH $turnsCte,\n$stateCte\n$body"
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers: the engine's partitioning contract.
+  *
+  * Every ordered scan (lag/lead, sessionize, backfill, as-of) wants the data
+  * range-partitioned by the entity key and sorted by the ordering key inside
+  * each partition. One explicit exchange up front, then every window frame
+  * over `(key) ORDER BY (ord)` is shuffle-free — Catalyst recognizes the
+  * child ordering and elides the sort. At 100 TB this is the difference
+  * between one range exchange and a shuffle per window operator.
+  */
+object Ordered {
+
+  /** Range-partition by `key`, sort partitions by `(key, ord...)`.
+    * `numPartitions <= 0` leaves the session default (AQE-friendly).
+    */
+  def orderedPartitions(df: DataFrame, key: String, ord: String*): DataFrame = {
+    val sorted = (key +: ord).map(col)
+    df.repartitionByRange(col(key)).sortWithinPartitions(sorted: _*)
+  }
+
+  /** Salt helper for skewed heavy aggregates: adds `salt = hash-block` so a
+    * single giant conversation splits across `blocks` tasks; callers do a
+    * two-phase aggregate (partial per (key, salt), final per key).
+    * Window functions cannot be salted — for those, see the block-local
+    * scan + boundary-carry technique (SURVEY.md §7.4#2); aggregates can.
+    */
+  def withSalt(df: DataFrame, ord: String, blockRows: Int): DataFrame =
+    df.withColumn("salt", (col(ord).cast("long") / blockRows).cast("int"))
+}
+
+/** Lag/lead turn features (SURVEY.md W1/W10; musiF interval extraction,
+  * musif/extract/features/melody — `_get_intervals`
+  * musif/musicxml/common.py:199-203). Pure window expressions → one Window
+  * node, WholeStageCodegen inside.
+  */
+object LagLead {
+  def convWindow(key: String = "conv_id", ord: String = "turn_idx") =
+    Window.partitionBy(col(key)).orderBy(col(ord))
+
+  /** Exact integer microseconds since epoch. Parquet timestamps load as
+    * TIMESTAMP_NTZ in Spark 4; the session runs in UTC so the cast is
+    * lossless and matches DuckDB's epoch_us.
+    */
+  def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Adds prev/next role, inter-turn delta in microseconds (exact integer —
+    * no float drift across engines), and previous text length.
+    */
+  def turnLagFeatures(turns: DataFrame): DataFrame = {
+    val w = convWindow()
+    turns
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("next_role", lead(col("role"), 1).over(w))
+      .withColumn("delta_ts_us", LagLead.micros(col("ts")) - LagLead.micros(lag(col("ts"), 1).over(w)))
+      .withColumn("prev_text_len", lag(length(col("text")), 1).over(w))
+  }
+}
+
+/** Gap sessionization (SURVEY.md W9): a new session starts when the gap to
+  * the previous turn exceeds `gapSeconds`. Batch form of
+  * `session_window($"ts", gap)`; the streaming port reuses the same logic
+  * (graft.streaming). Pattern mirrors musiF's key-area change-point
+  * segmentation (musif/extract/features/harmony/utils.py:207-271).
+  */
+object Sessionize {
+  def byGap(turns: DataFrame, gapSeconds: Long,
+            key: String = "conv_id", ts: String = "ts", ord: String = "turn_idx"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+    val gapUs = gapSeconds * 1000000L
+    val newSess = when(
+      LagLead.micros(col(ts)) - LagLead.micros(lag(col(ts), 1).over(w)) > gapUs, 1
+    ).otherwise(0)
+    turns.withColumn(
+      "session_id",
+      sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+  }
+}
+
+/** Forward-fill / last-observation-carried-forward (SURVEY.md W5; musiF
+  * time-signature carry and tonality-map gap fill,
+  * musif/extract/features/tempo/handler.py:120-136,
+  * scale_relative/utils.py:61-72).
+  */
+object Backfill {
+  def ffill(df: DataFrame, valueCol: String, outCol: String,
+            key: String = "conv_id", ord: String = "turn_idx"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+}
+
+/** Run-length encoding of equal-value runs (SURVEY.md W2/W4; musiF
+  * ascent/descent chunking melody/handler.py:675-689 and dedup-consecutive
+  * harmony/utils.py:23). change-flag → cumulative sum = run id.
+  */
+object RunLength {
+  /** Adds `run_id` (0-based per key) for runs of equal `valueCol`. */
+  def runIds(df: DataFrame, valueCol: String,
+             key: String = "conv_id", ord: String = "turn_idx"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+    val changed = when(
+      lag(col(valueCol), 1).over(w).isNull ||
+        lag(col(valueCol), 1).over(w) =!= col(valueCol), 1).otherwise(0)
+    df.withColumn("run_id",
+      (sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"))
+  }
+
+  /** Per-conversation run statistics over `valueCol` runs. */
+  def runStats(df: DataFrame, valueCol: String,
+               key: String = "conv_id", ord: String = "turn_idx"): DataFrame =
+    runIds(df, valueCol, key, ord)
+      .groupBy(col(key), col("run_id"))
+      .agg(first(col(valueCol)).as("run_val"), count(lit(1)).as("run_len"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        round(avg(col("run_len")), 6).as("run_len_mean"),
+        max(col("run_len")).as("run_len_max"))
+}
+
+/** Overlapping sliding windows over `turn_idx` (SURVEY.md W8; musiF
+  * measure windows `_process_score_windows` extract.py:416-464 with
+  * hop = window_size - overlap, n_windows = (N - overlap) / hop,
+  * extract.py:429-434). Overlap means one row belongs to several windows —
+  * not a Spark window frame but a generator: each turn explodes into the
+  * window ids containing it, then any per-window aggregate is an ordinary
+  * groupBy. At scale the fan-out factor is ceil(ws/hop) (small constant),
+  * and the groupBy keys extend the conv_id partitioning → local aggregation.
+  */
+object WindowFanout {
+  /** Adds `window_id`; fan-out by explode(sequence(lo, hi)).
+    * Window w covers turn_idx in [w*hop, w*hop + ws - 1], w in
+    * [0, n_windows-1] where n_windows = max(1, (N - overlap) / hop)
+    * (floor). Rows beyond the last window's end are clipped into it only if
+    * they fall inside its span (reference drops the tail the same way).
+    */
+  def byTurnIdx(turns: DataFrame, windowSize: Int, overlap: Int,
+                key: String = "conv_id", ord: String = "turn_idx"): DataFrame = {
+    require(overlap < windowSize, "overlap must be < window_size")
+    val hop = windowSize - overlap
+    val n = count(lit(1)).over(Window.partitionBy(col(key)))
+    val nWindows = greatest(((n - overlap) / hop).cast("int"), lit(1))
+    val i = col(ord)
+    // smallest window containing i: ceil((i - ws + 1)/hop) clipped at 0
+    val lo = greatest(ceil((i - windowSize + 1).cast("double") / hop).cast("int"), lit(0))
+    // largest: floor(i/hop), clipped at n_windows-1
+    val hi = least((i / hop).cast("int"), col("__n_windows") - 1)
+    turns
+      .withColumn("__n_windows", nWindows) // window fn materialized before the generator
+      .withColumn("window_id", explode_outer(
+        when(lo <= hi, sequence(lo, hi)).otherwise(lit(null))))
+      .filter(col("window_id").isNotNull)
+      .drop("__n_windows")
+  }
+}
