@@ -90,6 +90,99 @@ object SparkEntry {
           round(avg(length(col("text"))), 6).as("text_len_mean"),
           round(stddev_samp(length(col("text"))), 6).as("text_len_std"))
         .orderBy("conv_id", "role")),
+
+    // ——— A5 statistical moments with bias corrections (scipy parity) ———
+    "q_moments" -> ((s, dir) => {
+      val len = length(col("text")).cast("double")
+      Tables.turns(s, dir)
+        .groupBy("conv_id").agg(
+          round(avg(len), 6).as("len_mean"),
+          round(stddev_samp(len), 6).as("len_std"),
+          round(graft.functions.Stats.skewnessSample(len), 6).as("len_skew"),
+          round(graft.functions.Stats.kurtosisSample(len), 6).as("len_kurt"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— A6 exact trimmed mean (10% both tails) ———
+    "q_trimmed_mean" -> ((s, dir) =>
+      graft.functions.Stats.trimmedMean(
+          Tables.turns(s, dir).withColumn("len", length(col("text")).cast("double")),
+          "len", 0.1, "len_trim_mean", "conv_id")
+        .orderBy("conv_id")),
+
+    // ——— W3 rolling aggregate (centered-style frame over turn order) ———
+    "q_rolling_textlen" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx")).rowsBetween(-4, 0)
+      turnsOrdered(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          round(avg(length(col("text"))).over(w), 6).as("len_roll5"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // ——— W2 run-length encoding of role runs ———
+    "q_runlength_roles" -> ((s, dir) =>
+      RunLength.runStats(turnsOrdered(s, dir), "role")
+        .orderBy("conv_id")),
+
+    // ——— J3 pairwise role theta-join (texture ratios, inf/nan edge rules) ———
+    "q_texture_pairs" -> ((s, dir) => {
+      val c = Tables.turns(s, dir).groupBy("conv_id", "role").agg(count(lit(1)).as("n"))
+      val a = c.select(col("conv_id"), col("role").as("role_a"), col("n").as("n_a"))
+      val b = c.select(col("conv_id"), col("role").as("role_b"), col("n").as("n_b"))
+      a.join(b, Seq("conv_id")).filter(col("role_a") < col("role_b"))
+        .select(col("conv_id"), col("role_a"), col("role_b"),
+          round(when(col("n_b") === 0,
+              when(col("n_a") > 0, lit(Double.PositiveInfinity)).otherwise(lit(Double.NaN)))
+            .otherwise(col("n_a").cast("double") / col("n_b")), 6).as("ratio"))
+        .orderBy("conv_id", "role_a", "role_b")
+    }),
+
+    // ——— A2 scope ladder as one grouping-sets pass (role/tool/conv) ———
+    "q_scope_rollup" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .groupingSets(
+          Seq(Seq(col("conv_id"), col("role")),
+              Seq(col("conv_id"), col("tool")),
+              Seq(col("conv_id"))),
+          col("conv_id"), col("role"), col("tool"))
+        .agg(
+          when(grouping(col("role")) === 0, "role")
+            .when(grouping(col("tool")) === 0, "tool")
+            .otherwise("conv").as("scope"),
+          when(grouping(col("role")) === 0, col("role"))
+            .when(grouping(col("tool")) === 0, coalesce(col("tool"), lit("none")))
+            .otherwise("*").as("grp_key"),
+          count(lit(1)).as("n_turns"),
+          round(avg(length(col("text"))), 6).as("text_len_mean"))
+        .select("conv_id", "scope", "grp_key", "n_turns", "text_len_mean")
+        .orderBy("conv_id", "scope", "grp_key")),
+
+    // ——— A13 densities (turns/hour, tool-call ratio) ———
+    "q_density" -> ((s, dir) => {
+      val us = LagLead.micros(col("ts"))
+      Tables.turns(s, dir)
+        .groupBy("conv_id").agg(
+          count(lit(1)).as("n_turns"),
+          ((max(us) - min(us)).cast("double") / 3.6e9).as("__hours"),
+          (count(col("tool")).cast("double") / count(lit(1))).as("__toolfrac"))
+        .select(col("conv_id"), col("n_turns"),
+          round(col("__hours"), 6).as("active_hours"),
+          round(when(col("__hours") > 0, col("n_turns") / col("__hours")), 6).as("turns_per_hour"),
+          round(col("__toolfrac"), 6).as("tool_call_density"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— W10/A7 positional first/last + argmax (min_by/max_by) ———
+    "q_first_last" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .groupBy("conv_id").agg(
+          min_by(col("role"), col("turn_idx")).as("first_role"),
+          max_by(col("role"), col("turn_idx")).as("last_role"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          max_by(col("text"),
+            length(col("text")).cast("long") * 1000000L + col("turn_idx")).as("longest_text"))
+        .orderBy("conv_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -157,5 +250,84 @@ object SparkEntry {
         |  round(avg(length(text)), 6) AS text_len_mean,
         |  round(stddev_samp(length(text)), 6) AS text_len_std
         |FROM turns GROUP BY conv_id, role ORDER BY conv_id, role""".stripMargin),
+
+    "q_moments" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  round(avg(length(text)), 6) AS len_mean,
+        |  round(stddev_samp(length(text)), 6) AS len_std,
+        |  round(CASE WHEN count(*) >= 3 AND stddev_samp(length(text)) > 0
+        |        THEN skewness(length(text)) END, 6) AS len_skew,
+        |  round(CASE WHEN count(*) >= 4 AND stddev_samp(length(text)) > 0
+        |        THEN kurtosis(length(text)) END, 6) AS len_kurt
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_trimmed_mean" -> Oracle.withTurns(
+      """SELECT conv_id, round(avg(len), 6) AS len_trim_mean
+        |FROM (
+        |  SELECT conv_id, CAST(length(text) AS DOUBLE) AS len,
+        |         row_number() OVER (PARTITION BY conv_id ORDER BY length(text)) AS rn,
+        |         count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM turns)
+        |WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+        |GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_rolling_textlen" -> Oracle.withTurns(
+      """SELECT conv_id, turn_idx,
+        |  round(avg(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS len_roll5
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_runlength_roles" -> Oracle.withTurnsCtes(
+      """runs AS (
+        |  SELECT conv_id,
+        |    sum(CASE WHEN prev IS NULL OR prev <> role THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM (SELECT conv_id, turn_idx, role,
+        |          lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        |        FROM turns)
+        |), per AS (SELECT conv_id, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2)
+        |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |       round(avg(run_len), 6) AS run_len_mean,
+        |       CAST(max(run_len) AS BIGINT) AS run_len_max
+        |FROM per GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_texture_pairs" -> Oracle.withTurnsCtes(
+      """c AS (SELECT conv_id, role, count(*) AS n FROM turns GROUP BY 1, 2)
+        |SELECT a.conv_id, a.role AS role_a, b.role AS role_b,
+        |  round(CASE WHEN b.n = 0 THEN (CASE WHEN a.n > 0 THEN 'inf'::DOUBLE ELSE 'nan'::DOUBLE END)
+        |        ELSE CAST(a.n AS DOUBLE) / b.n END, 6) AS ratio
+        |FROM c a JOIN c b ON a.conv_id = b.conv_id AND a.role < b.role
+        |ORDER BY a.conv_id, role_a, role_b""".stripMargin),
+
+    "q_scope_rollup" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  CASE WHEN GROUPING(role) = 0 THEN 'role'
+        |       WHEN GROUPING(tool) = 0 THEN 'tool' ELSE 'conv' END AS scope,
+        |  CASE WHEN GROUPING(role) = 0 THEN role
+        |       WHEN GROUPING(tool) = 0 THEN coalesce(tool, 'none') ELSE '*' END AS grp_key,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  round(avg(length(text)), 6) AS text_len_mean
+        |FROM turns
+        |GROUP BY GROUPING SETS ((conv_id, role), (conv_id, tool), (conv_id))
+        |ORDER BY conv_id, scope, grp_key""".stripMargin),
+
+    "q_density" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 3.6e9, 6) AS active_hours,
+        |  round(CASE WHEN max(epoch_us(ts)) > min(epoch_us(ts))
+        |        THEN count(*) / (CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 3.6e9)
+        |        END, 6) AS turns_per_hour,
+        |  round(CAST(count(tool) AS DOUBLE) / count(*), 6) AS tool_call_density
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_first_last" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  arg_min(role, turn_idx) AS first_role,
+        |  arg_max(role, turn_idx) AS last_role,
+        |  min(ts) AS first_ts,
+        |  max(ts) AS last_ts,
+        |  arg_max(text, CAST(length(text) AS BIGINT) * 1000000 + turn_idx) AS longest_text
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
   )
 }

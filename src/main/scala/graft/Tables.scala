@@ -117,4 +117,9 @@ object Oracle {
 
   /** `WITH turns AS (...), state AS (...) <body>` */
   def withTurnsAndState(body: String): String = s"WITH $turnsCte,\n$stateCte\n$body"
+
+  /** `WITH turns AS (...), <body-that-begins-with-more-CTEs>` — for oracle
+    * SQL whose body starts with its own CTE definitions.
+    */
+  def withTurnsCtes(body: String): String = s"WITH $turnsCte,\n$body"
 }
