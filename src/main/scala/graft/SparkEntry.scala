@@ -183,6 +183,121 @@ object SparkEntry {
           max_by(col("text"),
             length(col("text")).cast("long") * 1000000L + col("turn_idx")).as("longest_text"))
         .orderBy("conv_id")),
+
+    // ——— W8 overlapping sliding windows + per-window aggregates ———
+    "q_window_agg" -> ((s, dir) =>
+      WindowFanout.byTurnIdx(turnsOrdered(s, dir), 8, 2)
+        .groupBy("conv_id", "window_id").agg(
+          count(lit(1)).as("n_turns"),
+          round(avg(length(col("text"))), 6).as("len_mean"))
+        .orderBy("conv_id", "window_id")),
+
+    // ——— A17 composite: as-of join → per-state histogram with shares ———
+    "q_asof_histogram" -> ((s, dir) => {
+      val j = AsOf.join(turnsOrdered(s, dir), Tables.state(s, dir),
+        "conv_id", "ts", Seq("state_val"), AsOf.AtOrBefore)
+      j.groupBy(col("conv_id"), coalesce(col("state_val"), lit("none")).as("state_key"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("conv_id"), col("state_key"), col("n"),
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("conv_id"))), 6).as("share"))
+        .orderBy("conv_id", "state_key")
+    }),
+
+    // ——— text analysis: token/quality metrics per document ———
+    "q_text_stats" -> ((s, dir) => {
+      import graft.functions.TextFns._
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nTokens(col("text")).as("n_tokens"),
+        size(distinctTokens(col("text"))).cast("long").as("n_unique"),
+        round(meanTokenLen(col("text")), 6).as("mean_tok_len"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— language-ID heuristic ———
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        graft.functions.TextFns.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ——— document fingerprint (md5-based rolling id) ———
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ——— exact dedup: keeper mapping by text identity ———
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val groups = d.groupBy("text").agg(
+        min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      d.join(groups, Seq("text"))
+        .select(col("doc_id"), col("keeper"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— MinHash signatures (near-dup scale path) ———
+    "q_minhash" -> ((s, dir) =>
+      graft.functions.TextFns.minhashRows(Tables.documents(s, dir), "doc_id", "text", 8)
+        .orderBy("doc_id", "seed")),
+
+    // ——— SimHash (bit-majority fingerprint) ———
+    "q_simhash" -> ((s, dir) =>
+      graft.functions.TextFns.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ——— n-gram (token-set) Jaccard near-dup pairs ≥ 0.9 ———
+    "q_neardup_jaccard" -> ((s, dir) => {
+      import graft.functions.TextFns._
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = toks.as("a").join(toks.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(sizes).withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), Seq("da"))
+        .join(broadcast(sizes).withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), Seq("db"))
+        .withColumn("jaccard", col("i").cast("double") / (col("sa") + col("sb") - col("i")))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("da", "db")
+    }),
+
+    // ——— brute-force cosine top-k (similarity-search baseline) ———
+    "q_knn_brute" -> ((s, dir) => {
+      import graft.functions.VectorFns._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sims = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nbr"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
+      sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // ——— LSH-bucketed ANN (sign-plane coarse quantization, scale path) ———
+    "q_knn_lsh" -> ((s, dir) => {
+      import graft.functions.VectorFns._
+      val e = Tables.embeddings(s, dir).withColumn("bucket", signBucket4(col("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+      val sims = broadcast(q).join(e, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("bucket"), col("vec_id").as("nbr"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
+      sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .orderBy("qid", "rank")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -329,5 +444,131 @@ object SparkEntry {
         |  max(ts) AS last_ts,
         |  arg_max(text, CAST(length(text) AS BIGINT) * 1000000 + turn_idx) AS longest_text
         |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_window_agg" -> Oracle.withTurnsCtes(
+      """convn AS (SELECT conv_id, count(*) AS n FROM turns GROUP BY 1),
+        |wins AS (SELECT conv_id, unnest(range(0, CAST(greatest((n - 2) // 6, 1) AS BIGINT))) AS wid
+        |         FROM convn)
+        |SELECT w.conv_id, CAST(w.wid AS INTEGER) AS window_id,
+        |       CAST(count(*) AS BIGINT) AS n_turns,
+        |       round(avg(length(t.text)), 6) AS len_mean
+        |FROM wins w JOIN turns t
+        |  ON t.conv_id = w.conv_id AND t.turn_idx BETWEEN w.wid * 6 AND w.wid * 6 + 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_asof_histogram" -> Oracle.withTurnsAndState(
+      """, j AS (
+        |  SELECT t.conv_id, coalesce(s.state_val, 'none') AS state_key
+        |  FROM turns t ASOF LEFT JOIN state s
+        |    ON t.conv_id = s.conv_id AND t.ts >= s.ts
+        |), c AS (SELECT conv_id, state_key, count(*) AS n FROM j GROUP BY 1, 2)
+        |SELECT conv_id, state_key, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY conv_id), 6) AS share
+        |FROM c ORDER BY conv_id, state_key""".stripMargin),
+
+    "q_text_stats" -> (
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+        |  round((CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+        |        / len(string_split(text, ' ')), 6) AS mean_tok_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |  round(ln(1.0 + len(string_split(text, ' '))) *
+        |        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_lang_id" -> (
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('the','a','is','of'))) AS DOUBLE)
+        |       / len(string_split(text, ' ')) > 0.02
+        |       THEN 'en' ELSE 'unknown' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_fingerprint" -> (
+      """SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_exact" -> (
+      """WITH groups AS (
+        |  SELECT text, min(doc_id) AS keeper, count(*) AS n_copies
+        |  FROM documents GROUP BY text)
+        |SELECT d.doc_id, g.keeper, CAST(g.n_copies AS BIGINT) AS n_copies
+        |FROM documents d JOIN groups g ON d.text = g.text
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q_minhash" -> (
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |seeds AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS seed)
+        |SELECT t.doc_id, s.seed,
+        |  min(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || t.tok), 1, 15))::BIGINT) AS minhash
+        |FROM toks t, seeds s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_simhash" -> (
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT CAST(unnest(range(0, 60)) AS INTEGER) AS b),
+        |pb AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s FROM th, bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM pb GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q_neardup_jaccard" -> (
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, round(j, 6) AS jaccard FROM (
+        |  SELECT i.da, i.db, CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS j
+        |  FROM inter i JOIN sizes sa ON i.da = sa.doc_id JOIN sizes sb ON i.db = sb.doc_id)
+        |WHERE j >= 0.9 ORDER BY da, db""".stripMargin),
+
+    "q_knn_brute" -> (
+      """WITH sims AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nbr,
+        |    round(list_sum(list_apply(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+        |            t -> t[1] * t[2]))
+        |      / (sqrt(list_sum(list_apply(q.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_apply(e.embedding::DOUBLE[], x -> x * x)))), 6) AS cos_sim
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND q.vec_id <> e.vec_id)
+        |SELECT qid, nbr, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT qid, nbr, cos_sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
+        |  FROM sims)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    "q_knn_lsh" -> (
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
+        |     CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
+        |     CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
+        |     CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS qid, q.bucket, e.vec_id AS nbr,
+        |    round(list_sum(list_apply(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+        |            t -> t[1] * t[2]))
+        |      / (sqrt(list_sum(list_apply(q.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_apply(e.embedding::DOUBLE[], x -> x * x)))), 6) AS cos_sim
+        |  FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id < 5 AND q.vec_id <> e.vec_id)
+        |SELECT qid, CAST(bucket AS INTEGER) AS bucket, nbr, cos_sim,
+        |       CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT qid, bucket, nbr, cos_sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
+        |  FROM sims)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
   )
 }

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for large-scale training-data
+  * pipelines: tokenization, quality scoring, language-ID heuristic,
+  * fingerprinting, and the hash primitives shared by MinHash/SimHash
+  * dedup. All pure Catalyst expressions (codegen'd) — no UDFs; hashes are
+  * md5-based so the DuckDB oracle can reproduce them bit-exactly.
+  */
+object TextFns {
+
+  /** Whitespace tokens (fixture corpora are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def nTokens(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Default stopword list used by quality/lang-id heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "is", "of", "and", "to", "in")
+
+  def stopwordCount(text: Column, words: Seq[String] = Stopwords): Column =
+    size(filter(tokens(text), t => t.isInCollection(words))).cast("long")
+
+  def stopwordRatio(text: Column, words: Seq[String] = Stopwords): Column =
+    stopwordCount(text, words).cast("double") / nTokens(text)
+
+  /** Mean token length derived arithmetically (chars minus separators). */
+  def meanTokenLen(text: Column): Column =
+    (length(text).cast("double") - (nTokens(text) - 1)) / nTokens(text)
+
+  /** Composite quality score: rewards length, penalizes stopword soup.
+    * ln(1+n_tokens) * (1 - stopword_ratio).
+    */
+  def qualityScore(text: Column): Column =
+    log(lit(1.0) + nTokens(text)) * (lit(1.0) - stopwordRatio(text))
+
+  /** Language-ID heuristic: stopword-hit density ⇒ 'en' else 'unknown'.
+    * Deterministic and oracle-reproducible; a production system would use
+    * per-language n-gram profiles with the same groupBy shape.
+    */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text, Seq("the", "a", "is", "of")) > 0.02, "en")
+      .otherwise("unknown")
+
+  /** 60-bit integer from the first 15 hex digits of md5 — the shared,
+    * engine-portable hash primitive (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: md5Long of the full text. */
+  def fingerprint(text: Column): Column = md5Long(text)
+
+  /** Per-(doc, seed) MinHash values over distinct tokens.
+    * Input: (idCol, textCol); output: (idCol, seed:int, minhash:long).
+    * k seeds → k rows per doc; signature = collect per doc. Scale path:
+    * band the signature (seed / bandSize) and group on (band, hash of
+    * band-slice) to get candidate near-dup pairs without the quadratic join.
+    */
+  def minhashRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
+    val seeds = df.sparkSession.range(k).select(col("id").cast("int").as("seed"))
+    toks.crossJoin(broadcast(seeds))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5Long(concat_ws("|", col("seed").cast("string"), col("tok")))).as("minhash"))
+  }
+
+  /** 60-bit SimHash per doc: majority vote of token-hash bits (+1/-1 per
+    * distinct token). Input: (idCol, textCol); output: (idCol, simhash:long).
+    * Near-dups then differ in few bits (Hamming ball lookup at scale).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val toks = df.select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
+      .withColumn("h", md5Long(col("tok")))
+    val bitsDf = df.sparkSession.range(bits).select(col("id").cast("int").as("b"))
+    toks.crossJoin(broadcast(bitsDf))
+      .withColumn("sgn", expr("(shiftright(h, b) & 1) * 2 - 1"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("sgn")).as("s"))
+      .withColumn("contrib",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("simhash"))
+  }
+}
