@@ -24,7 +24,7 @@ object SparkEntry {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_census_role")(spark, "/root/testdata/sf0.001")
+    queries("q_feature_matrix")(spark, "/root/testdata/sf0.001")
 
   private def turnsOrdered(s: SparkSession, dir: String): DataFrame =
     Ordered.orderedPartitions(Tables.turns(s, dir), "conv_id", "turn_idx")
@@ -298,6 +298,15 @@ object SparkEntry {
       sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
         .orderBy("qid", "rank")
     }),
+
+    // ——— FLAGSHIP: the full per-conversation wide feature matrix ———
+    // All modules fused: one enrich chain (lag + sessionize + as-of state)
+    // over the ordered turns, ONE shared HashAggregate, three small
+    // co-partitioned frame joins (sessions/runs/trimmed).
+    "q_feature_matrix" -> ((s, dir) =>
+      graft.features.FeatureRegistry.featureMatrix(
+          turnsOrdered(s, dir), Some(Tables.state(s, dir)))
+        .orderBy("conv_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -570,5 +579,84 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
         |  FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    "q_feature_matrix" -> Oracle.withTurnsAndState(
+      s""", base AS (
+        |  SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts, s.state_val,
+        |    epoch_us(t.ts) - epoch_us(lag(t.ts) OVER w) AS delta_us,
+        |    lag(t.role) OVER w AS prev_role
+        |  FROM turns t ASOF LEFT JOIN state s
+        |    ON t.conv_id = s.conv_id AND t.ts >= s.ts
+        |  WINDOW w AS (PARTITION BY t.conv_id ORDER BY t.turn_idx)
+        |), b2 AS (
+        |  SELECT *, sum(CASE WHEN delta_us > ${SessionGapSeconds}000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM base
+        |), main AS (
+        |  SELECT conv_id,
+        |    count(CASE WHEN role = 'user' THEN 1 END) AS role_user_n_turns,
+        |    round(avg(CASE WHEN role = 'user' THEN length(text) END), 6) AS role_user_len_mean,
+        |    count(CASE WHEN role = 'assistant' THEN 1 END) AS role_assistant_n_turns,
+        |    round(avg(CASE WHEN role = 'assistant' THEN length(text) END), 6) AS role_assistant_len_mean,
+        |    count(CASE WHEN role = 'system' THEN 1 END) AS role_system_n_turns,
+        |    round(avg(CASE WHEN role = 'system' THEN length(text) END), 6) AS role_system_len_mean,
+        |    count(CASE WHEN role = 'tool' THEN 1 END) AS role_tool_n_turns,
+        |    round(avg(CASE WHEN role = 'tool' THEN length(text) END), 6) AS role_tool_len_mean,
+        |    count(*) AS n_turns,
+        |    count(tool) AS n_tool_calls,
+        |    count(DISTINCT tool) AS n_distinct_tools,
+        |    arg_min(role, turn_idx) AS first_role,
+        |    arg_max(role, turn_idx) AS last_role,
+        |    round(avg(delta_us / 1000000.0), 6) AS delta_ts_mean_s,
+        |    round(stddev_samp(delta_us / 1000000.0), 6) AS delta_ts_std_s,
+        |    count(CASE WHEN prev_role = role THEN 1 END) AS n_role_repeats,
+        |    CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+        |    round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 3.6e9, 6) AS active_hours,
+        |    round(CASE WHEN max(epoch_us(ts)) > min(epoch_us(ts))
+        |          THEN count(*) / (CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 3.6e9)
+        |          END, 6) AS turns_per_hour,
+        |    round(CAST(count(tool) AS DOUBLE) / count(*), 6) AS tool_call_density,
+        |    round(avg(length(text)), 6) AS len_mean,
+        |    round(stddev_samp(length(text)), 6) AS len_std,
+        |    round(CASE WHEN count(*) >= 3 AND stddev_samp(length(text)) > 0
+        |          THEN skewness(length(text)) END, 6) AS len_skew,
+        |    round(CASE WHEN count(*) >= 4 AND stddev_samp(length(text)) > 0
+        |          THEN kurtosis(length(text)) END, 6) AS len_kurt,
+        |    CAST(min(length(text)) AS BIGINT) AS len_min,
+        |    CAST(max(length(text)) AS BIGINT) AS len_max,
+        |    count(state_val) AS n_turns_with_state,
+        |    count(DISTINCT state_val) AS n_distinct_states
+        |  FROM b2 GROUP BY conv_id
+        |), sessf AS (
+        |  SELECT conv_id, round(avg(n), 6) AS sess_len_mean, CAST(max(n) AS BIGINT) AS sess_len_max
+        |  FROM (SELECT conv_id, session_id, count(*) AS n FROM b2 GROUP BY 1, 2)
+        |  GROUP BY conv_id
+        |), runbase AS (
+        |  SELECT conv_id,
+        |    sum(CASE WHEN prev_role IS NULL OR prev_role <> role THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM b2
+        |), runf AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |         round(avg(run_len), 6) AS run_len_mean, CAST(max(run_len) AS BIGINT) AS run_len_max
+        |  FROM (SELECT conv_id, run_id, count(*) AS run_len FROM runbase GROUP BY 1, 2)
+        |  GROUP BY conv_id
+        |), trimf AS (
+        |  SELECT conv_id, round(avg(len), 6) AS len_trim_mean
+        |  FROM (SELECT conv_id, CAST(length(text) AS DOUBLE) AS len,
+        |          row_number() OVER (PARTITION BY conv_id ORDER BY length(text)) AS rn,
+        |          count(*) OVER (PARTITION BY conv_id) AS n
+        |        FROM b2)
+        |  WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+        |  GROUP BY conv_id
+        |)
+        |SELECT main.*, sessf.sess_len_mean, sessf.sess_len_max,
+        |       trimf.len_trim_mean,
+        |       runf.n_runs, runf.run_len_mean, runf.run_len_max
+        |FROM main
+        |JOIN sessf USING (conv_id)
+        |JOIN runf USING (conv_id)
+        |JOIN trimf USING (conv_id)
+        |ORDER BY conv_id""".stripMargin),
   )
 }
