@@ -37,20 +37,20 @@ object SparkEntry {
 
     // ——— W1/W10 lag/lead turn features ———
     "q_lag_features" -> ((s, dir) =>
-      LagLead.turnLagFeatures(turnsOrdered(s, dir))
+      LagLead.turnLagFeatures(Tables.turns(s, dir))
         .select(col("conv_id"), col("turn_idx"), col("prev_role"), col("next_role"),
           col("delta_ts_us"), col("prev_text_len").cast("long").as("prev_text_len"))
         .orderBy("conv_id", "turn_idx")),
 
     // ——— W9 ts-gap sessionization ———
     "q_sessionize" -> ((s, dir) =>
-      Sessionize.byGap(turnsOrdered(s, dir), SessionGapSeconds)
+      Sessionize.byGap(Tables.turns(s, dir), SessionGapSeconds)
         .select("conv_id", "turn_idx", "session_id")
         .orderBy("conv_id", "turn_idx")),
 
     // ——— A19-style per-conversation session stats ———
     "q_session_stats" -> ((s, dir) =>
-      Sessionize.byGap(turnsOrdered(s, dir), SessionGapSeconds)
+      Sessionize.byGap(Tables.turns(s, dir), SessionGapSeconds)
         .groupBy("conv_id", "session_id").agg(count(lit(1)).as("n"))
         .groupBy("conv_id").agg(
           count(lit(1)).as("n_sessions"),
@@ -60,21 +60,21 @@ object SparkEntry {
 
     // ——— J1 as-of join, at-or-before semantics ———
     "q_asof_state" -> ((s, dir) =>
-      AsOf.join(turnsOrdered(s, dir), Tables.state(s, dir),
+      AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
           "conv_id", "ts", Seq("state_val"), AsOf.AtOrBefore)
         .select("conv_id", "turn_idx", "state_val")
         .orderBy("conv_id", "turn_idx")),
 
     // ——— J1 as-of join, strictly-before (zero temporal leakage) ———
     "q_asof_strict" -> ((s, dir) =>
-      AsOf.join(turnsOrdered(s, dir), Tables.state(s, dir),
+      AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
           "conv_id", "ts", Seq("state_val"), AsOf.StrictlyBefore)
         .select("conv_id", "turn_idx", "state_val")
         .orderBy("conv_id", "turn_idx")),
 
     // ——— W5 forward-fill (backfilled feature column) ———
     "q_backfill_tool" -> ((s, dir) =>
-      Backfill.ffill(turnsOrdered(s, dir), "tool", "tool_ff")
+      Backfill.ffill(Tables.turns(s, dir), "tool", "tool_ff")
         .select("conv_id", "turn_idx", "tool_ff")
         .orderBy("conv_id", "turn_idx")),
 
@@ -113,7 +113,7 @@ object SparkEntry {
     // ——— W3 rolling aggregate (centered-style frame over turn order) ———
     "q_rolling_textlen" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx")).rowsBetween(-4, 0)
-      turnsOrdered(s, dir)
+      Tables.turns(s, dir)
         .select(col("conv_id"), col("turn_idx"),
           round(avg(length(col("text"))).over(w), 6).as("len_roll5"))
         .orderBy("conv_id", "turn_idx")
@@ -121,7 +121,7 @@ object SparkEntry {
 
     // ——— W2 run-length encoding of role runs ———
     "q_runlength_roles" -> ((s, dir) =>
-      RunLength.runStats(turnsOrdered(s, dir), "role")
+      RunLength.runStats(Tables.turns(s, dir), "role")
         .orderBy("conv_id")),
 
     // ——— J3 pairwise role theta-join (texture ratios, inf/nan edge rules) ———
@@ -186,7 +186,7 @@ object SparkEntry {
 
     // ——— W8 overlapping sliding windows + per-window aggregates ———
     "q_window_agg" -> ((s, dir) =>
-      WindowFanout.byTurnIdx(turnsOrdered(s, dir), 8, 2)
+      WindowFanout.byTurnIdx(Tables.turns(s, dir), 8, 2)
         .groupBy("conv_id", "window_id").agg(
           count(lit(1)).as("n_turns"),
           round(avg(length(col("text"))), 6).as("len_mean"))
@@ -194,7 +194,7 @@ object SparkEntry {
 
     // ——— A17 composite: as-of join → per-state histogram with shares ———
     "q_asof_histogram" -> ((s, dir) => {
-      val j = AsOf.join(turnsOrdered(s, dir), Tables.state(s, dir),
+      val j = AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
         "conv_id", "ts", Seq("state_val"), AsOf.AtOrBefore)
       j.groupBy(col("conv_id"), coalesce(col("state_val"), lit("none")).as("state_key"))
         .agg(count(lit(1)).as("n"))
@@ -254,7 +254,9 @@ object SparkEntry {
     // ——— n-gram (token-set) Jaccard near-dup pairs ≥ 0.9 ———
     "q_neardup_jaccard" -> ((s, dir) => {
       import graft.functions.TextFns._
-      val toks = Tables.documents(s, dir)
+      // exact-baseline operator, bounded: the quadratic token join is the
+      // thing the LSH path (q_neardup_lsh) exists to avoid at scale
+      val toks = Tables.documents(s, dir).filter(col("doc_id") < 1000)
         .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = toks.as("a").join(toks.as("b"),
@@ -297,6 +299,36 @@ object SparkEntry {
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
       sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
         .orderBy("qid", "rank")
+    }),
+
+    // ——— MinHash-LSH near-dup dedup: banded candidates + exact verify ———
+    // The scale path: k=8 minhashes, 2 bands of 4 → candidate pairs share a
+    // full band within the same `source` (per-domain dedup, the standard
+    // sharding for web-scale corpora); exact Jaccard only on candidates via
+    // array_intersect (no quadratic token-join shuffle). Approximate-recall
+    // semantics are the operator's contract (recall ≈ 1-(1-j^4)^2).
+    "q_neardup_lsh" -> ((s, dir) => {
+      import graft.functions.TextFns._
+      val docs = Tables.documents(s, dir)
+      val mh = minhashRows(docs, "doc_id", "text", 8)
+      val bands = mh.withColumn("band", (col("seed") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash").cast("string")), ",").as("bkey"))
+        .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
+      cand
+        .join(broadcast(sets.select(col("doc_id").as("da"), col("s").as("sa"))), Seq("da"))
+        .join(broadcast(sets.select(col("doc_id").as("db"), col("s").as("sb"))), Seq("db"))
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("da", "db")
     }),
 
     // ——— FLAGSHIP: the full per-conversation wide feature matrix ———
@@ -533,7 +565,8 @@ object SparkEntry {
     "q_neardup_jaccard" -> (
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |    WHERE doc_id < 1000)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
@@ -579,6 +612,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
         |  FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    "q_neardup_lsh" -> (
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |seeds AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS seed),
+        |mh AS (
+        |  SELECT t.doc_id, s.seed,
+        |    min(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || t.tok), 1, 15))::BIGINT) AS m
+        |  FROM toks t, seeds s GROUP BY 1, 2),
+        |bands0 AS (
+        |  SELECT doc_id, seed // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY seed) AS bkey
+        |  FROM mh GROUP BY 1, 2),
+        |bands AS (SELECT b.*, d.source FROM bands0 b JOIN documents d USING (doc_id)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.source = b.source
+        |       AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |ver AS (
+        |  SELECT c.da, c.db,
+        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+        |  FROM cand c JOIN sets x ON c.da = x.doc_id JOIN sets y ON c.db = y.doc_id)
+        |SELECT da, db, round(j, 6) AS jaccard FROM ver WHERE j >= 0.9
+        |ORDER BY da, db""".stripMargin),
 
     "q_feature_matrix" -> Oracle.withTurnsAndState(
       s""", base AS (

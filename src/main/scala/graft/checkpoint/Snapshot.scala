@@ -1,0 +1,86 @@
+package graft.checkpoint
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot checkpointing with per-shard lineage — the batch analog of
+  * musiF's parse-avoidance pickle cache + `exclude_files` resume
+  * (musif/extract/extract.py:552-631, 186-189; SURVEY.md S4/J5/S7, §7.6).
+  *
+  * Honest sandbox implementation: Parquet shard directories plus a JSON
+  * manifest (one file per completed shard — commit unit = shard). No
+  * Iceberg jars exist in this environment; the layout mirrors an Iceberg
+  * snapshot (data files + manifest listing row counts and timings) and the
+  * write path is format-agnostic so a real `format("iceberg")` binding is
+  * a one-line swap.
+  *
+  * Resume = anti-join of the shard work-list against the manifest: a rerun
+  * recomputes only missing shards. Shards are `pmod(xxhash64(conv_id), n)`
+  * so assignment is deterministic across parallelism levels.
+  */
+object Snapshot {
+
+  case class ShardRecord(shard: Int, rows: Long, wallMs: Long, epochMs: Long)
+
+  private def manifestDir(out: String): Path = Paths.get(out, "_manifest")
+
+  def completedShards(out: String): Set[Int] = {
+    val dir = manifestDir(out)
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("shard-") && s.endsWith(".json") =>
+        s.stripPrefix("shard-").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  private def writeManifest(out: String, rec: ShardRecord): Unit = {
+    Files.createDirectories(manifestDir(out))
+    val json =
+      s"""{"shard":${rec.shard},"rows":${rec.rows},"wall_ms":${rec.wallMs},"epoch_ms":${rec.epochMs}}"""
+    Files.write(manifestDir(out).resolve(s"shard-${rec.shard}.json"),
+      json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Run `job` over each shard of `input` not yet in the manifest; write
+    * each result to `out/shard=K/` and record lineage. Returns the records
+    * written this run.
+    */
+  def runResumable(input: DataFrame, out: String, nShards: Int)
+                  (job: DataFrame => DataFrame): Seq[ShardRecord] = {
+    require(nShards > 0)
+    val done = completedShards(out)
+    val todo = (0 until nShards).filterNot(done)
+    todo.map { k =>
+      val t0 = System.currentTimeMillis()
+      val shardInput = input.filter(pmod(xxhash64(col("conv_id")), lit(nShards)) === k)
+      val result = job(shardInput)
+      result.write.mode("overwrite").parquet(s"$out/shard=$k")
+      val rows = result.sparkSession.read.parquet(s"$out/shard=$k").count()
+      val rec = ShardRecord(k, rows, System.currentTimeMillis() - t0, System.currentTimeMillis())
+      writeManifest(out, rec)
+      rec
+    }
+  }
+
+  /** The lineage/metrics table (north rule: per-partition lineage with
+    * row-count and latency), readable as a DataFrame.
+    */
+  def lineage(spark: SparkSession, out: String): DataFrame = {
+    import spark.implicits._
+    val recs = completedShards(out).toSeq.sorted.map { k =>
+      val txt = new String(Files.readAllBytes(manifestDir(out).resolve(s"shard-$k.json")), "UTF-8")
+      def field(name: String): Long =
+        s""""$name":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(-1L)
+      ShardRecord(field("shard").toInt, field("rows"), field("wall_ms"), field("epoch_ms"))
+    }
+    recs.toDF()
+  }
+
+  /** Read the full snapshot back (all shards). */
+  def read(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(s"$out/shard=*")
+}

@@ -83,7 +83,16 @@ object FeatureRegistry {
   def featureMatrix(turns: DataFrame, state: Option[DataFrame],
                     modules: Seq[FeatureModule] = all): DataFrame = {
     val ordered = toposort(modules)
-    val enriched = ordered.foldLeft(turns) { (df, m) =>
+    // Column pruning the optimizer can't do for us: raw `text` (hundreds of
+    // bytes/row) would otherwise ride through every sort/shuffle of the
+    // window stack. Project to its length up front — the matrix only ever
+    // consumes text_len. ~5x less bytes through the heavy operators.
+    val slim =
+      if (turns.columns.contains("text"))
+        turns.withColumn("text_len", org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))).drop("text")
+      else turns
+    val enriched = ordered.foldLeft(slim) { (df, m) =>
       m match {
         case s: StatefulModule => s.enrichWith(df, state)
         case _                 => m.enrich(df)

@@ -29,7 +29,7 @@ object CensusModule extends FeatureModule {
     val perRole = FeatureRegistry.Roles.flatMap { r =>
       Seq(
         count(when(col("role") === r, 1)).as(s"role_${r}_n_turns"),
-        round(avg(when(col("role") === r, length(col("text")))), 6).as(s"role_${r}_len_mean"))
+        round(avg(when(col("role") === r, col("text_len"))), 6).as(s"role_${r}_len_mean"))
     }
     perRole ++ Seq(
       count(lit(1)).as("n_turns"),
@@ -79,20 +79,31 @@ object LagModule extends FeatureModule {
 object SessionModule extends FeatureModule {
   val name = "sessions"
   override val deps: Seq[String] = Seq("lag")
+  // Session lengths WITHOUT a (conv, session)-partitioned window: that frame
+  // would add another full sort of the fact table. Instead, in the one
+  // (conv, turn_idx) sort: forward-fill the row-number of each session
+  // start; on each session END row the length is rn - start_rn + 1.
   override def enrich(turns: DataFrame): DataFrame = {
-    val sess = Sessionize.byGap(turns, graft.SparkEntry.SessionGapSeconds)
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val wSess = Window.partitionBy(col("conv_id"), col("session_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = Sessionize.byGap(turns, graft.SparkEntry.SessionGapSeconds)
     sess
+      .withColumn("__rn", row_number().over(w))
       .withColumn("sess_start",
         lag(col("session_id"), 1).over(w).isNull ||
           lag(col("session_id"), 1).over(w) =!= col("session_id"))
-      .withColumn("sess_len", count(lit(1)).over(wSess))
+      .withColumn("sess_end",
+        lead(col("session_id"), 1).over(w).isNull ||
+          lead(col("session_id"), 1).over(w) =!= col("session_id"))
+      .withColumn("__sess_start_rn",
+        last(when(col("sess_start"), col("__rn")), ignoreNulls = true).over(wCum))
+      .withColumn("sess_len",
+        when(col("sess_end"), col("__rn") - col("__sess_start_rn") + 1).cast("long"))
   }
   override def aggs: Seq[Column] = Seq(
-    count(when(col("sess_start"), 1)).as("n_sessions"),
-    round(avg(when(col("sess_start"), col("sess_len"))), 6).as("sess_len_mean"),
-    max(when(col("sess_start"), col("sess_len"))).as("sess_len_max"))
+    count(when(col("sess_end"), 1)).as("n_sessions"),
+    round(avg(when(col("sess_end"), col("sess_len"))), 6).as("sess_len_mean"),
+    max(when(col("sess_end"), col("sess_len"))).as("sess_len_max"))
 }
 
 /** Densities — musiF density/handler.py:48-69 (notes per beat → turns per
@@ -115,10 +126,10 @@ object DensityModule extends FeatureModule {
   */
 object TextStatsModule extends FeatureModule {
   val name = "textstats"
-  private val len = length(col("text")).cast("double")
+  private val len = col("text_len").cast("double")
   override val deps: Seq[String] = Seq("asofstate")
   override def enrich(turns: DataFrame): DataFrame = {
-    val wRank = Window.partitionBy(col("conv_id")).orderBy(length(col("text")), col("turn_idx"))
+    val wRank = Window.partitionBy(col("conv_id")).orderBy(col("text_len"), col("turn_idx"))
     val wAll = Window.partitionBy(col("conv_id"))
     turns
       .withColumn("__len_rn", row_number().over(wRank))
@@ -142,19 +153,26 @@ object TextStatsModule extends FeatureModule {
   */
 object RunLengthModule extends FeatureModule {
   val name = "runlength"
-  override val deps: Seq[String] = Seq("asofstate")
+  override val deps: Seq[String] = Seq("sessions") // reuse its __rn column
+  // Same single-sort technique as SessionModule: run length measured on run
+  // END rows as rn - ffilled(start rn) + 1 — no (conv, run_id) window.
   override def enrich(turns: DataFrame): DataFrame = {
-    val withRuns = RunLength.runIds(turns, "role")
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val wRun = Window.partitionBy(col("conv_id"), col("run_id"))
-    withRuns
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    turns
       .withColumn("run_start",
-        lag(col("run_id"), 1).over(w).isNull ||
-          lag(col("run_id"), 1).over(w) =!= col("run_id"))
-      .withColumn("run_len", count(lit(1)).over(wRun))
+        lag(col("role"), 1).over(w).isNull ||
+          lag(col("role"), 1).over(w) =!= col("role"))
+      .withColumn("run_end",
+        lead(col("role"), 1).over(w).isNull ||
+          lead(col("role"), 1).over(w) =!= col("role"))
+      .withColumn("__run_start_rn",
+        last(when(col("run_start"), col("__rn")), ignoreNulls = true).over(wCum))
+      .withColumn("run_len",
+        when(col("run_end"), col("__rn") - col("__run_start_rn") + 1).cast("long"))
   }
   override def aggs: Seq[Column] = Seq(
-    count(when(col("run_start"), 1)).as("n_runs"),
-    round(avg(when(col("run_start"), col("run_len"))), 6).as("run_len_mean"),
-    max(when(col("run_start"), col("run_len"))).as("run_len_max"))
+    count(when(col("run_end"), 1)).as("n_runs"),
+    round(avg(when(col("run_end"), col("run_len"))), 6).as("run_len_mean"),
+    max(when(col("run_end"), col("run_len"))).as("run_len_max"))
 }

@@ -53,11 +53,13 @@ object LagLead {
     */
   def turnLagFeatures(turns: DataFrame): DataFrame = {
     val w = convWindow()
+    val len = if (turns.columns.contains("text_len")) col("text_len")
+              else length(col("text"))
     turns
       .withColumn("prev_role", lag(col("role"), 1).over(w))
       .withColumn("next_role", lead(col("role"), 1).over(w))
       .withColumn("delta_ts_us", LagLead.micros(col("ts")) - LagLead.micros(lag(col("ts"), 1).over(w)))
-      .withColumn("prev_text_len", lag(length(col("text")), 1).over(w))
+      .withColumn("prev_text_len", lag(len, 1).over(w))
   }
 }
 

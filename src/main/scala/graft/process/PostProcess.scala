@@ -1,0 +1,94 @@
+package graft.process
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature-matrix post-processor — the column-oriented second stage
+  * (musiF `DataProcessor`, musif/process/processor.py:31-140): prune/merge
+  * columns, NaN policies, stable ordering. Purely columnar: select-list
+  * surgery + na.fill, no shuffle except an optional final sort.
+  */
+object PostProcess {
+
+  /** P3: drop columns by name predicates (startswith/endswith/contains/
+    * exact — musif/process/utils.py:78-126).
+    */
+  def deleteColumns(df: DataFrame,
+                    exact: Seq[String] = Nil,
+                    prefixes: Seq[String] = Nil,
+                    suffixes: Seq[String] = Nil,
+                    contains: Seq[String] = Nil): DataFrame = {
+    val drop = df.columns.filter { c =>
+      exact.contains(c) || prefixes.exists(c.startsWith) ||
+        suffixes.exists(c.endsWith) || contains.exists(c.contains)
+    }
+    df.drop(drop: _*)
+  }
+
+  /** P4: drop rows whose null fraction exceeds the threshold
+    * (processor.py:218-222). One pass, pure column math.
+    */
+  def dropSparseRows(df: DataFrame, maxNullFraction: Double): DataFrame = {
+    val nullCount = df.columns.map(c => when(col(c).isNull, 1).otherwise(0))
+      .reduce(_ + _)
+    df.filter(nullCount <= lit(df.columns.length * maxNullFraction))
+  }
+
+  /** P5: drop columns whose null fraction exceeds the threshold
+    * (process/utils.py:121-124): one aggregate pass → driver-side select
+    * list (column count is small; row count is not).
+    */
+  def dropSparseColumns(df: DataFrame, maxNullFraction: Double): DataFrame = {
+    val aggs = df.columns.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)) :+
+      count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getAs[Long]("__n").toDouble
+    val keep = df.columns.filter(c => row.getAs[Long](c) <= n * maxNullFraction)
+    df.select(keep.map(col): _*)
+  }
+
+  /** G2: sum groups of columns into a new column
+    * (join_part_degrees / join_keys, musif/process/utils.py:44-225).
+    */
+  def sumColumnGroup(df: DataFrame, outCol: String, cols: Seq[String]): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    require(present.nonEmpty, s"no columns of $cols present")
+    df.withColumn(outCol, present.map(c => coalesce(col(c), lit(0.0))).reduce(_ + _))
+  }
+
+  /** G4: NaN/null replacement on name-matched columns
+    * (replace_nans, processor.py:226-237).
+    */
+  def fillByPredicate(df: DataFrame, value: Double, pred: String => Boolean): DataFrame =
+    df.na.fill(value, df.columns.filter(pred))
+
+  /** O2/O5: lexicographic column order with priority keys first
+    * (extract.py:366; sort_columns, common/sort.py:58-72).
+    */
+  def orderColumns(df: DataFrame, priority: Seq[String] = Seq("conv_id", "window_id")): DataFrame = {
+    val pri = priority.filter(df.columns.contains)
+    val rest = df.columns.filterNot(pri.contains).sorted
+    df.select((pri ++ rest).map(col): _*)
+  }
+
+  /** Reference-style scope-prefixed export names
+    * (musif/extract/features/prefix.py:4-126): `role_user_n_turns` →
+    * `RoleUser_NTurns`-style rendering for users migrating from the
+    * reference's wide CSV layout.
+    */
+  def renderReferenceNames(df: DataFrame): DataFrame = {
+    def camel(s: String) = s.split("_").filter(_.nonEmpty)
+      .map(w => w.head.toUpper + w.tail).mkString
+    val renames = df.columns.map {
+      case c if c == "conv_id" || c == "window_id" => c -> c
+      case c if c.startsWith("role_") =>
+        val rest = c.stripPrefix("role_")
+        val (role, feat) = rest.span(_ != '_')
+        c -> s"Role${camel(role)}_${camel(feat.stripPrefix("_"))}"
+      case c => c -> s"Score_${camel(c)}"
+    }
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (from == to) d else d.withColumnRenamed(from, to)
+    }
+  }
+}

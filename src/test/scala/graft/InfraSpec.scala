@@ -1,0 +1,96 @@
+package graft
+
+import graft.checkpoint.Snapshot
+import graft.datagen.TranscriptGen
+import graft.sources.Multimodal
+import graft.streaming.StreamFeatures
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Datagen determinism, checkpoint resume, streaming sessionize, and the
+  * multimodal batch plumbing.
+  */
+class InfraSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("datagen is deterministic across parallelism levels") {
+    val a = TranscriptGen.turns(spark, 50).repartition(2)
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val b = TranscriptGen.turns(spark, 50).repartition(11)
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("datagen skew tail: conv 0 is ~skewFactor bigger than the median") {
+    val counts = TranscriptGen.turns(spark, 30, skewEvery = 29)
+      .groupBy("conv_id").count().as[(String, Long)].collect().toMap
+    val skewed = counts("c0000000000")
+    val others = counts.collect { case (k, v) if k.stripPrefix("c").toLong % 29 != 0 => v }.toSeq.sorted
+    val median = others(others.size / 2)
+    assert(skewed > median * 10)
+  }
+
+  test("checkpoint: kill, resume, identical result, lineage complete") {
+    val out = Files.createTempDirectory("snap2").toString
+    val input = TranscriptGen.turns(spark, 40)
+    val job = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("conv_id").agg(count(lit(1)).as("n"))
+
+    // run 1 dies after 2 shards
+    var processed = 0
+    try Snapshot.runResumable(input, out, 4) { df =>
+      processed += 1
+      if (processed > 2) throw new RuntimeException("simulated kill")
+      job(df)
+    } catch { case _: RuntimeException => () }
+    assert(Snapshot.completedShards(out).size == 2)
+
+    // run 2 resumes: processes exactly the missing shards
+    val recs = Snapshot.runResumable(input, out, 4)(job)
+    assert(recs.size == 2)
+    assert(Snapshot.completedShards(out) == Set(0, 1, 2, 3))
+
+    // snapshot content == single-shot computation
+    val got = Snapshot.read(spark, out).orderBy("conv_id").collect().toSeq
+    val exp = job(input).orderBy("conv_id").collect().toSeq
+    assert(got == exp)
+
+    // lineage has rows + latency per shard
+    val lin = Snapshot.lineage(spark, out).collect()
+    assert(lin.length == 4)
+    assert(lin.forall(r => r.getAs[Long]("rows") > 0 && r.getAs[Long]("wallMs") >= 0))
+  }
+
+  test("streaming sessionize: gap splits sessions (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, String, String, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val q = StreamFeatures.sessionStats(df, gap = "1 minute", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    mem.addData(
+      ("a", 0, "user", "hi", null, ts("2024-01-01 00:00:00")),
+      ("a", 1, "assistant", "yo", null, ts("2024-01-01 00:00:30")),
+      ("a", 2, "user", "later", null, ts("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT conv_id, n_turns FROM sess_out ORDER BY session_start")
+      .as[(String, Long)].collect().toSeq
+    q.stop()
+    assert(rows == Seq(("a", 2L), ("a", 1L)))
+  }
+
+  test("multimodal: batched stub decode preserves ids, deterministic sigs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.fromDocuments(docs)
+    val feats = Multimodal.extractFeatures(media, batchSize = 7)
+    assert(feats.count() == docs.count())
+    val r = feats.filter(col("media_id") === 0).collect().head
+    assert(r.getAs[Long]("n_bytes") > 0)
+    val again = Multimodal.extractFeatures(media.repartition(5), batchSize = 3)
+      .filter(col("media_id") === 0).collect().head
+    assert(r.getAs[Long]("sig") == again.getAs[Long]("sig"))
+    assert(r.getAs[scala.collection.Seq[Double]]("feature").toList ==
+           again.getAs[scala.collection.Seq[Double]]("feature").toList)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.process.PostProcess
+import org.apache.spark.sql.functions._
+
+class PostProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("a", Some(1.0), Some(2.0), None: Option[Double]),
+    ("b", None, Some(4.0), None),
+    ("c", None, None, None)
+  ).toDF("conv_id", "x_one", "x_two", "y_sparse")
+
+  test("deleteColumns by prefix/suffix/exact") {
+    assert(PostProcess.deleteColumns(df, prefixes = Seq("x_")).columns.toSeq ==
+      Seq("conv_id", "y_sparse"))
+    assert(PostProcess.deleteColumns(df, exact = Seq("y_sparse")).columns.length == 3)
+    assert(PostProcess.deleteColumns(df, suffixes = Seq("_two", "_sparse")).columns.toSeq ==
+      Seq("conv_id", "x_one"))
+  }
+
+  test("dropSparseRows: row 'c' has 3/4 nulls") {
+    val kept = PostProcess.dropSparseRows(df, 0.5).select("conv_id")
+      .as[String].collect().toSet
+    assert(kept == Set("a", "b"))
+  }
+
+  test("dropSparseColumns: y_sparse is 100% null") {
+    val cols = PostProcess.dropSparseColumns(df, 0.7).columns.toSeq
+    assert(cols == Seq("conv_id", "x_one", "x_two"))
+  }
+
+  test("sumColumnGroup coalesces nulls to 0") {
+    val got = PostProcess.sumColumnGroup(df, "x_sum", Seq("x_one", "x_two", "missing"))
+      .select("conv_id", "x_sum").as[(String, Double)].collect().toMap
+    assert(got("a") == 3.0 && got("b") == 4.0 && got("c") == 0.0)
+  }
+
+  test("fillByPredicate + orderColumns priority-first then sorted") {
+    val filled = PostProcess.fillByPredicate(df, -1.0, _.startsWith("x_"))
+    assert(filled.filter(col("conv_id") === "c").select("x_one").as[Double].head() == -1.0)
+    val ordered = PostProcess.orderColumns(df.withColumnRenamed("x_one", "a_one"))
+    assert(ordered.columns.toSeq == Seq("conv_id", "a_one", "x_two", "y_sparse"))
+  }
+
+  test("renderReferenceNames: role prefix and score prefix") {
+    val m = Seq(("c1", 3L, 2.5, 7L)).toDF("conv_id", "role_user_n_turns", "len_mean", "n_turns")
+    val r = PostProcess.renderReferenceNames(m)
+    assert(r.columns.toSet == Set("conv_id", "RoleUser_NTurns", "Score_LenMean", "Score_NTurns"))
+  }
+}
