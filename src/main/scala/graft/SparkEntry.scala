@@ -331,6 +331,109 @@ object SparkEntry {
         .orderBy("da", "db")
     }),
 
+    // ——— J1 variant: bounded-staleness as-of join (48h tolerance) ———
+    "q_asof_tolerance" -> ((s, dir) =>
+      AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
+          "conv_id", "ts", Seq("state_val"), AsOf.AtOrBefore,
+          toleranceUs = Some(48L * 3600 * 1000000))
+        .select("conv_id", "turn_idx", "state_val")
+        .orderBy("conv_id", "turn_idx")),
+
+    // ——— W5 variant: backward fill (first state at-or-after) ———
+    "q_bfill_tool" -> ((s, dir) =>
+      Backfill.bfill(Tables.turns(s, dir), "tool", "tool_bf")
+        .select("conv_id", "turn_idx", "tool_bf")
+        .orderBy("conv_id", "turn_idx")),
+
+    // ——— skew path: two-phase salted aggregation (≡ plain groupBy) ———
+    "q_salted_census" -> ((s, dir) =>
+      Salted.countsAndSums(
+          Tables.turns(s, dir).withColumn("text_len", length(col("text")).cast("long")),
+          "conv_id", "turn_idx", 16, "n_turns", Map("sum_text_len" -> "text_len"))
+        .orderBy("conv_id")),
+
+    // ——— SimHash near-dup pairs: hamming ≤ 6 within source ———
+    "q_simhash_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = graft.functions.TextFns.simhash(docs, "doc_id", "text")
+        .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
+      val a = sh.select(col("doc_id").as("da"), col("simhash").as("ha"), col("source"))
+      val b = sh.select(col("doc_id").as("db"), col("simhash").as("hb"), col("source"))
+      a.join(b, Seq("source")).filter(col("da") < col("db"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 6)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    }),
+
+    // ——— F1/F2 analog: cadence classification from mean inter-turn gap ———
+    "q_cadence" -> ((s, dir) => {
+      val us = LagLead.micros(col("ts"))
+      Tables.turns(s, dir)
+        .groupBy("conv_id")
+        .agg(((max(us) - min(us)) / greatest(count(lit(1)) - 1, lit(1)) / 1000000L)
+          .as("__gap_s"))
+        .select(col("conv_id"), round(col("__gap_s"), 6).as("mean_gap_s"),
+          when(col("__gap_s") < 60, "rapid")
+            .when(col("__gap_s") < 3600, "active")
+            .when(col("__gap_s") < 86400, "slow")
+            .otherwise("dormant").as("cadence"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— A25/O3/G3: tool census string + presence unbundling ———
+    "q_tool_census" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .groupBy("conv_id")
+        .agg(
+          array_join(array_sort(collect_set(col("tool"))), ",").as("instrumentation"),
+          max(when(col("tool") === "tool_0", 1).otherwise(0)).cast("long").as("has_tool_0"),
+          max(when(col("tool") === "tool_1", 1).otherwise(0)).cast("long").as("has_tool_1"),
+          max(when(col("tool") === "tool_2", 1).otherwise(0)).cast("long").as("has_tool_2"),
+          max(when(col("tool") === "tool_3", 1).otherwise(0)).cast("long").as("has_tool_3"))
+        .orderBy("conv_id")),
+
+    // ——— A18/A22 analog: state-transition counts after the as-of join ———
+    "q_state_transitions" -> ((s, dir) => {
+      val j = AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
+        "conv_id", "ts", Seq("state_val"), AsOf.AtOrBefore)
+        .withColumn("state_key", coalesce(col("state_val"), lit("none")))
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      j.withColumn("changed",
+          when(lag(col("state_key"), 1).over(w).isNotNull &&
+            lag(col("state_key"), 1).over(w) =!= col("state_key"), 1).otherwise(0))
+        .groupBy("conv_id")
+        .agg(
+          sum(col("changed")).as("n_transitions"),
+          countDistinct(col("state_key")).as("n_states"),
+          round(sum(col("changed")).cast("double") / count(lit(1)), 6).as("transition_rate"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— multimodal metadata: opaque binary payload stats ———
+    "q_media_meta" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+          substring(md5(col("text")), 1, 8).as("sig8"))
+        .orderBy("doc_id")),
+
+    // ——— generic relational: broadcast dim join + multi-level agg ———
+    "q_pricing_by_segment" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    }),
+
     // ——— FLAGSHIP: the full per-conversation wide feature matrix ———
     // All modules fused: one enrich chain (lag + sessionize + as-of state)
     // over the ordered turns, ONE shared HashAggregate, three small
@@ -639,6 +742,106 @@ object SparkEntry {
         |  FROM cand c JOIN sets x ON c.da = x.doc_id JOIN sets y ON c.db = y.doc_id)
         |SELECT da, db, round(j, 6) AS jaccard FROM ver WHERE j >= 0.9
         |ORDER BY da, db""".stripMargin),
+
+    "q_asof_tolerance" -> Oracle.withTurnsAndState(
+      """, u AS (
+        |  SELECT conv_id, ts, turn_idx, CAST(NULL AS VARCHAR) AS sv, 0 AS is_state FROM turns
+        |  UNION ALL
+        |  SELECT conv_id, ts, NULL, state_val, 1 FROM state
+        |), f AS (
+        |  SELECT conv_id, ts, turn_idx, is_state,
+        |    last_value(CASE WHEN is_state = 1 THEN sv END IGNORE NULLS) OVER w AS sval,
+        |    last_value(CASE WHEN is_state = 1 THEN ts END IGNORE NULLS) OVER w AS sts
+        |  FROM u WINDOW w AS (PARTITION BY conv_id ORDER BY ts, is_state DESC
+        |                      ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT conv_id, turn_idx,
+        |  CASE WHEN sts IS NOT NULL AND epoch_us(ts) - epoch_us(sts) <= 172800000000
+        |       THEN sval END AS state_val
+        |FROM f WHERE is_state = 0 ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_bfill_tool" -> Oracle.withTurns(
+      """SELECT conv_id, turn_idx,
+        |  first_value(tool IGNORE NULLS)
+        |    OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tool_bf
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_salted_census" -> Oracle.withTurns(
+      """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_simhash_neardup" -> (
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT CAST(unnest(range(0, 60)) AS INTEGER) AS b),
+        |pb AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s FROM th, bits GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT pb.doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash,
+        |    min(d.source) AS source
+        |  FROM pb JOIN documents d ON pb.doc_id = d.doc_id GROUP BY pb.doc_id)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        |ORDER BY da, db""".stripMargin),
+
+    "q_cadence" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  round((max(epoch_us(ts)) - min(epoch_us(ts)))
+        |        / greatest(count(*) - 1, 1) / 1000000, 6) AS mean_gap_s,
+        |  CASE WHEN (max(epoch_us(ts)) - min(epoch_us(ts)))
+        |            / greatest(count(*) - 1, 1) / 1000000 < 60 THEN 'rapid'
+        |       WHEN (max(epoch_us(ts)) - min(epoch_us(ts)))
+        |            / greatest(count(*) - 1, 1) / 1000000 < 3600 THEN 'active'
+        |       WHEN (max(epoch_us(ts)) - min(epoch_us(ts)))
+        |            / greatest(count(*) - 1, 1) / 1000000 < 86400 THEN 'slow'
+        |       ELSE 'dormant' END AS cadence
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_tool_census" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  coalesce(string_agg(DISTINCT tool, ',' ORDER BY tool), '') AS instrumentation,
+        |  CAST(max(CASE WHEN tool = 'tool_0' THEN 1 ELSE 0 END) AS BIGINT) AS has_tool_0,
+        |  CAST(max(CASE WHEN tool = 'tool_1' THEN 1 ELSE 0 END) AS BIGINT) AS has_tool_1,
+        |  CAST(max(CASE WHEN tool = 'tool_2' THEN 1 ELSE 0 END) AS BIGINT) AS has_tool_2,
+        |  CAST(max(CASE WHEN tool = 'tool_3' THEN 1 ELSE 0 END) AS BIGINT) AS has_tool_3
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_state_transitions" -> Oracle.withTurnsAndState(
+      """, j AS (
+        |  SELECT t.conv_id, t.turn_idx, coalesce(s.state_val, 'none') AS state_key
+        |  FROM turns t ASOF LEFT JOIN state s
+        |    ON t.conv_id = s.conv_id AND t.ts >= s.ts
+        |), c AS (
+        |  SELECT conv_id, state_key,
+        |    CASE WHEN lag(state_key) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NOT NULL
+        |          AND lag(state_key) OVER (PARTITION BY conv_id ORDER BY turn_idx) <> state_key
+        |         THEN 1 ELSE 0 END AS changed
+        |  FROM j)
+        |SELECT conv_id, CAST(sum(changed) AS BIGINT) AS n_transitions,
+        |       CAST(count(DISTINCT state_key) AS BIGINT) AS n_states,
+        |       round(CAST(sum(changed) AS DOUBLE) / count(*), 6) AS transition_rate
+        |FROM c GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_media_meta" -> (
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       substr(md5(text), 1, 8) AS sig8
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_pricing_by_segment" -> (
+      """SELECT c.c_mktsegment, o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  round(avg(l.l_quantity), 4) AS avg_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_feature_matrix" -> Oracle.withTurnsAndState(
       s""", base AS (

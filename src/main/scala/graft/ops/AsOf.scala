@@ -32,15 +32,21 @@ object AsOf {
   case object AtOrBefore extends Semantics
   case object StrictlyBefore extends Semantics
 
-  /** @param left      turn-like rows (kept, one output row each)
-    * @param right     state rows: must contain `key`, `ts`, and `valueCols`
-    * @param valueCols state columns to carry onto left rows
+  /** @param left        turn-like rows (kept, one output row each)
+    * @param right       state rows: must contain `key`, `ts`, and `valueCols`
+    * @param valueCols   state columns to carry onto left rows
+    * @param toleranceUs max staleness in microseconds: state older than this
+    *                    relative to the left timestamp yields NULL (bounded-
+    *                    staleness point-in-time semantics); None = unbounded
     */
   def join(left: DataFrame, right: DataFrame,
            key: String, ts: String, valueCols: Seq[String],
-           semantics: Semantics = AtOrBefore): DataFrame = {
+           semantics: Semantics = AtOrBefore,
+           toleranceUs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
     require(!leftCols.contains("__is_state"), "reserved column name")
+    require(valueCols.forall(!leftCols.contains(_)),
+      s"left already contains one of $valueCols")
     val l = left.withColumn("__is_state", lit(0))
     val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
       .withColumn("__is_state", lit(1))
@@ -55,10 +61,25 @@ object AsOf {
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val filled = valueCols.foldLeft(unioned) { (df, v) =>
+    val filled0 = valueCols.foldLeft(unioned) { (df, v) =>
       df.withColumn(v, last(when(col("__is_state") === 1, col(v)), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__is_state") === 0)
-      .select((leftCols ++ valueCols).map(col): _*)
+    val matched = filled0.filter(col("__is_state") === 0)
+    val result = toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        // carry the matched state's timestamp through the same window and
+        // null-out values when it is too stale
+        val withSts = valueCols.foldLeft(
+          filled0.withColumn("__sts",
+            last(when(col("__is_state") === 1, unix_micros(col(ts).cast("timestamp"))),
+              ignoreNulls = true).over(w))
+            .filter(col("__is_state") === 0)) { (df, v) =>
+          df.withColumn(v,
+            when(unix_micros(col(ts).cast("timestamp")) - col("__sts") <= tol, col(v)))
+        }
+        withSts
+    }
+    result.select((leftCols ++ valueCols).map(col): _*)
   }
 }

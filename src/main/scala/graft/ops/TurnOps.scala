@@ -95,6 +95,36 @@ object Backfill {
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn(outCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Backward fill: first non-null at-or-after this position. */
+  def bfill(df: DataFrame, valueCol: String, outCol: String,
+            key: String = "conv_id", ord: String = "turn_idx"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+      .rowsBetween(0, Window.unboundedFollowing)
+    df.withColumn(outCol, first(col(valueCol), ignoreNulls = true).over(w))
+  }
+}
+
+/** Two-phase salted aggregation for skewed keys (SURVEY.md §4.2): partial
+  * aggregate per (key, salt) splits one giant key across `saltBuckets`
+  * tasks, final aggregate per key combines the partials. Results identical
+  * to a direct groupBy — the point is the shuffle shape under skew.
+  * (musiF parallelizes per file — joblib `Parallel`, extract.py:357-360 —
+  * and has no answer to one pathological file; this is ours.)
+  */
+object Salted {
+  /** Skew-safe counts + sums. `sums` maps output name → input column. */
+  def countsAndSums(df: DataFrame, key: String, ord: String, saltBuckets: Int,
+                    countName: String, sums: Map[String, String]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(col(ord), lit(saltBuckets)))
+    val partialAggs = count(lit(1)).as("__pc") +:
+      sums.toSeq.map { case (out, in) => sum(col(in)).as(s"__ps_$out") }
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs = sum(col("__pc")).as(countName) +:
+      sums.toSeq.map { case (out, _) => sum(col(s"__ps_$out")).as(out) }
+    partial.groupBy(col(key)).agg(finalAggs.head, finalAggs.tail: _*)
+  }
 }
 
 /** Run-length encoding of equal-value runs (SURVEY.md W2/W4; musiF
