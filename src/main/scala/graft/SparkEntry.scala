@@ -434,6 +434,99 @@ object SparkEntry {
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
+    // ——— W8 window MODE: per-(conv, window) feature rows ———
+    "q_feature_matrix_windowed" -> ((s, dir) =>
+      graft.features.Windowed.featureMatrixWindowed(Tables.turns(s, dir))
+        .orderBy("conv_id", "window_id")),
+
+    // ——— W3 motion: resample → derivative → centered rolling mean ———
+    "q_motion" -> ((s, dir) =>
+      graft.features.Windowed.motion(Tables.turns(s, dir), stepSeconds = 120, win = 2)
+        .orderBy("conv_id", "pos")),
+
+    // ——— J6 semi-join include list (limit_files analog) ———
+    "q_semi_big_convs" -> ((s, dir) => {
+      val t = Tables.turns(s, dir)
+      val big = t.groupBy("conv_id").agg(count(lit(1)).as("n")).filter(col("n") > 60)
+        .select("conv_id")
+      t.join(big, Seq("conv_id"), "left_semi")
+        .groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— J5 anti-join resume (exclude_files analog) ———
+    "q_anti_big_convs" -> ((s, dir) => {
+      val t = Tables.turns(s, dir)
+      val big = t.groupBy("conv_id").agg(count(lit(1)).as("n")).filter(col("n") > 60)
+        .select("conv_id")
+      t.join(big, Seq("conv_id"), "left_anti")
+        .groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— O3 custom-order sort by reference list (instrument order) ———
+    "q_role_order" -> ((s, dir) => {
+      val order = Seq("system", "user", "assistant", "tool")
+      val rank = order.zipWithIndex.foldLeft(lit(99)) { case (acc, (r, i)) =>
+        when(col("role") === r, i).otherwise(acc)
+      }
+      Tables.turns(s, dir)
+        .select(col("conv_id"), col("role"), rank.as("rank"))
+        .distinct()
+        .groupBy("conv_id")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("rank"), col("role")))),
+          x => x.getField("role")), ",").as("roles_ordered"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— IVF-style ANN: nearest-of-16-centroids cells, search in cell ———
+    "q_knn_ivf" -> ((s, dir) => {
+      import graft.functions.VectorFns._
+      val e = Tables.embeddings(s, dir)
+      // deterministic "centroids": the 16 lowest-id vectors (k-means seeding
+      // analog; at scale these come from a trained codebook)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+      val sims = broadcast(q).join(assigned, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("cell"), col("vec_id").as("nbr"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
+      sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // ——— custom typed Aggregator: one-pass exact trimmed mean ———
+    "q_trimmed_custom" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .groupBy("conv_id")
+        .agg(round(graft.functions.TrimmedMeanAgg(0.1)(
+          length(col("text")).cast("double")), 6).as("len_trim_mean"))
+        .orderBy("conv_id")),
+
+    // ——— A10/A11: duration-weighted mean + gradient over the gap axis ———
+    "q_weighted_mean" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val gapS = (LagLead.micros(lead(col("ts"), 1).over(w)) - LagLead.micros(col("ts"))) / 1e6
+      Tables.turns(s, dir)
+        .withColumn("len", length(col("text")).cast("double"))
+        .withColumn("gap_s", gapS)
+        .withColumn("dlen", abs(col("len") - lag(col("len"), 1).over(w)))
+        .groupBy("conv_id")
+        .agg(
+          round(sum(col("len") * col("gap_s")) / sum(col("gap_s")), 6).as("len_weighted_mean"),
+          round(avg(col("dlen")), 6).as("len_gradient_mean"))
+        .orderBy("conv_id")
+    }),
+
     // ——— FLAGSHIP: the full per-conversation wide feature matrix ———
     // All modules fused: one enrich chain (lag + sessionize + as-of state)
     // over the ordered turns, ONE shared HashAggregate, three small
@@ -842,6 +935,116 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_feature_matrix_windowed" -> Oracle.withTurnsCtes(
+      """convn AS (SELECT conv_id, count(*) AS n FROM turns GROUP BY 1),
+        |wins AS (SELECT conv_id, unnest(range(0, CAST(greatest((n - 2) // 6, 1) AS BIGINT))) AS wid
+        |         FROM convn)
+        |SELECT w.conv_id, CAST(w.wid AS INTEGER) AS window_id,
+        |       CAST(count(*) AS BIGINT) AS n_turns,
+        |       CAST(count(t.tool) AS BIGINT) AS n_tool_calls,
+        |       CAST(min(t.turn_idx) AS INTEGER) AS first_turn,
+        |       CAST(max(t.turn_idx) AS INTEGER) AS last_turn,
+        |       round(avg(length(t.text)), 6) AS len_mean,
+        |       CAST(max(length(t.text)) AS BIGINT) AS len_max,
+        |       CAST(count(CASE WHEN t.role = 'user' THEN 1 END) AS BIGINT) AS n_user_turns,
+        |       CAST(count(CASE WHEN t.role = 'assistant' THEN 1 END) AS BIGINT) AS n_assistant_turns
+        |FROM wins w JOIN turns t
+        |  ON t.conv_id = w.conv_id AND t.turn_idx BETWEEN w.wid * 6 AND w.wid * 6 + 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_motion" -> Oracle.withTurnsCtes(
+      """b AS (
+        |  SELECT conv_id, turn_idx, CAST(length(text) AS DOUBLE) AS len,
+        |    coalesce(least((epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000, 600), 120) AS dur_s
+        |  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |), r AS (
+        |  SELECT conv_id, turn_idx, len,
+        |    unnest(range(0, CAST(greatest(dur_s // 120, 1) AS BIGINT))) AS rep
+        |  FROM b
+        |), p AS (
+        |  SELECT conv_id, len,
+        |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, rep) AS INTEGER) AS pos
+        |  FROM r
+        |), sp AS (
+        |  SELECT conv_id, pos, len,
+        |    (len - lag(len) OVER (PARTITION BY conv_id ORDER BY pos)) / 120 AS speed
+        |  FROM p)
+        |SELECT conv_id, pos, CAST(len AS BIGINT) AS v,
+        |  round(speed, 6) AS speed,
+        |  round(avg(speed) OVER (PARTITION BY conv_id ORDER BY pos
+        |        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS speed_roll
+        |FROM sp ORDER BY conv_id, pos""".stripMargin),
+
+    "q_semi_big_convs" -> Oracle.withTurnsCtes(
+      """big AS (SELECT conv_id FROM turns GROUP BY 1 HAVING count(*) > 60)
+        |SELECT t.conv_id, CAST(count(*) AS BIGINT) AS n_turns
+        |FROM turns t WHERE t.conv_id IN (SELECT conv_id FROM big)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_anti_big_convs" -> Oracle.withTurnsCtes(
+      """big AS (SELECT conv_id FROM turns GROUP BY 1 HAVING count(*) > 60)
+        |SELECT t.conv_id, CAST(count(*) AS BIGINT) AS n_turns
+        |FROM turns t WHERE t.conv_id NOT IN (SELECT conv_id FROM big)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_role_order" -> Oracle.withTurnsCtes(
+      """d AS (
+        |  SELECT DISTINCT conv_id, role,
+        |    CASE role WHEN 'system' THEN 0 WHEN 'user' THEN 1
+        |         WHEN 'assistant' THEN 2 WHEN 'tool' THEN 3 ELSE 99 END AS rnk
+        |  FROM turns)
+        |SELECT conv_id, string_agg(role, ',' ORDER BY rnk) AS roles_ordered
+        |FROM d GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_knn_ivf" -> (
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_sum(list_apply(list_zip(e.embedding::DOUBLE[], c.cv::DOUBLE[]),
+        |                t -> t[1] * t[2]))
+        |          / (sqrt(list_sum(list_apply(e.embedding::DOUBLE[], x -> x * x)))
+        |             * sqrt(list_sum(list_apply(c.cv::DOUBLE[], x -> x * x)))), 6) DESC,
+        |        c.cent_id) AS r
+        |    FROM embeddings e, cents c)
+        |  WHERE r = 1),
+        |sims AS (
+        |  SELECT q.vec_id AS qid, q.cell, e.vec_id AS nbr,
+        |    round(list_sum(list_apply(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
+        |            t -> t[1] * t[2]))
+        |      / (sqrt(list_sum(list_apply(q.embedding::DOUBLE[], x -> x * x)))
+        |         * sqrt(list_sum(list_apply(e.embedding::DOUBLE[], x -> x * x)))), 6) AS cos_sim
+        |  FROM assigned q JOIN assigned e ON q.cell = e.cell
+        |  WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id)
+        |SELECT qid, CAST(cell AS BIGINT) AS cell, nbr, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT qid, cell, nbr, cos_sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
+        |  FROM sims)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    "q_trimmed_custom" -> Oracle.withTurns(
+      """SELECT conv_id, round(avg(len), 6) AS len_trim_mean
+        |FROM (
+        |  SELECT conv_id, CAST(length(text) AS DOUBLE) AS len,
+        |         row_number() OVER (PARTITION BY conv_id ORDER BY length(text)) AS rn,
+        |         count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM turns)
+        |WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+        |GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_weighted_mean" -> Oracle.withTurnsCtes(
+      """b AS (
+        |  SELECT conv_id, CAST(length(text) AS DOUBLE) AS len,
+        |    (epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1000000.0 AS gap_s,
+        |    abs(CAST(length(text) AS DOUBLE)
+        |        - lag(CAST(length(text) AS DOUBLE)) OVER w) AS dlen
+        |  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        |SELECT conv_id,
+        |  round(sum(len * gap_s) / sum(gap_s), 6) AS len_weighted_mean,
+        |  round(avg(dlen), 6) AS len_gradient_mean
+        |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_feature_matrix" -> Oracle.withTurnsAndState(
       s""", base AS (

@@ -1,0 +1,73 @@
+package graft.features
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.WindowFanout
+
+/** Window-mode feature extraction — musiF's second execution mode
+  * (`_process_score_windows`, musif/extract/extract.py:416-464): one output
+  * row per (conv_id, window_id) instead of per conversation, windows of
+  * `windowSize` turns overlapping by `overlap`.
+  *
+  * Implementation: the W8 fan-out generator (each turn explodes into the
+  * ≤⌈ws/hop⌉ windows containing it) followed by one grouped aggregate —
+  * the per-window analog of the flagship's single-pass design. The fan-out
+  * factor is a small constant, the groupBy key extends the conv_id
+  * clustering, so aggregation is partial-combine local.
+  */
+object Windowed {
+
+  def featureMatrixWindowed(turns: DataFrame, windowSize: Int = 8, overlap: Int = 2): DataFrame = {
+    val slim = turns
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .drop("text")
+    val fanned = WindowFanout.byTurnIdx(slim, windowSize, overlap)
+    fanned.groupBy(col("conv_id"), col("window_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        count(col("tool")).as("n_tool_calls"),
+        min(col("turn_idx")).as("first_turn"),
+        max(col("turn_idx")).as("last_turn"),
+        round(avg(col("text_len")), 6).as("len_mean"),
+        max(col("text_len")).as("len_max"),
+        count(when(col("role") === "user", 1)).as("n_user_turns"),
+        count(when(col("role") === "assistant", 1)).as("n_assistant_turns"))
+  }
+
+  /** Motion features — musiF W3 (`_motion_features_single_window_step`,
+    * melody/handler.py:615-698): resample the per-turn value stream at a
+    * fixed step along an accumulated-duration axis (np.repeat analog via
+    * explode(sequence)), first discrete derivative, centered rolling mean
+    * over 2w+1 samples.
+    *
+    * Transcript mapping: value = text_len, duration of a turn = gap to the
+    * next turn capped at `capSeconds` (so session breaks don't explode the
+    * resample), step in seconds.
+    */
+  def motion(turns: DataFrame, stepSeconds: Int, win: Int,
+             capSeconds: Int = 600): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val durS = least(
+      (unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")) -
+        unix_micros(col("ts").cast("timestamp"))) / 1000000L,
+      lit(capSeconds)).cast("int")
+    val resampled = turns
+      .withColumn("text_len", length(col("text")).cast("double"))
+      .withColumn("__dur_s", coalesce(durS, lit(stepSeconds)))
+      // np.repeat: one sample per full step inside the turn's duration,
+      // at least one sample per turn
+      .withColumn("rep", explode(sequence(lit(0),
+        greatest((col("__dur_s") / stepSeconds).cast("int") - 1, lit(0)))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"), col("rep"))))
+    val wPos = Window.partitionBy(col("conv_id")).orderBy(col("pos"))
+    resampled
+      .withColumn("speed",
+        (col("text_len") - lag(col("text_len"), 1).over(wPos)) / stepSeconds)
+      .withColumn("speed_roll",
+        round(avg(col("speed")).over(wPos.rowsBetween(-win, win)), 6).as("speed_roll"))
+      .select(col("conv_id"), col("pos"), col("text_len").cast("long").as("v"),
+        round(col("speed"), 6).as("speed"), col("speed_roll"))
+  }
+}
