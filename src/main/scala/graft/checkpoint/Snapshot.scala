@@ -22,7 +22,8 @@ import scala.jdk.CollectionConverters._
   */
 object Snapshot {
 
-  case class ShardRecord(shard: Int, rows: Long, wallMs: Long, epochMs: Long)
+  case class ShardRecord(shard: Int, rows: Long, wallMs: Long, epochMs: Long,
+                         error: Option[String] = None)
 
   private def manifestDir(out: String): Path = Paths.get(out, "_manifest")
 
@@ -38,8 +39,9 @@ object Snapshot {
 
   private def writeManifest(out: String, rec: ShardRecord): Unit = {
     Files.createDirectories(manifestDir(out))
+    val err = rec.error.map(e => s""","error":"${e.replaceAll("[\"\\\n\r]", " ")}"""").getOrElse("")
     val json =
-      s"""{"shard":${rec.shard},"rows":${rec.rows},"wall_ms":${rec.wallMs},"epoch_ms":${rec.epochMs}}"""
+      s"""{"shard":${rec.shard},"rows":${rec.rows},"wall_ms":${rec.wallMs},"epoch_ms":${rec.epochMs}$err}"""
     Files.write(manifestDir(out).resolve(s"shard-${rec.shard}.json"),
       json.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -48,21 +50,36 @@ object Snapshot {
   /** Run `job` over each shard of `input` not yet in the manifest; write
     * each result to `out/shard=K/` and record lineage. Returns the records
     * written this run.
+    * @param ignoreErrors S7 error-isolation semantics (musiF
+    *   `ignore_errors`, extract.py:348-354): a failing shard is recorded in
+    *   the manifest error sink and skipped (it stays incomplete and will be
+    *   retried on the next resume) instead of failing the batch.
     */
-  def runResumable(input: DataFrame, out: String, nShards: Int)
+  def runResumable(input: DataFrame, out: String, nShards: Int,
+                   ignoreErrors: Boolean = false)
                   (job: DataFrame => DataFrame): Seq[ShardRecord] = {
     require(nShards > 0)
     val done = completedShards(out)
     val todo = (0 until nShards).filterNot(done)
-    todo.map { k =>
+    todo.flatMap { k =>
       val t0 = System.currentTimeMillis()
-      val shardInput = input.filter(pmod(xxhash64(col("conv_id")), lit(nShards)) === k)
-      val result = job(shardInput)
-      result.write.mode("overwrite").parquet(s"$out/shard=$k")
-      val rows = result.sparkSession.read.parquet(s"$out/shard=$k").count()
-      val rec = ShardRecord(k, rows, System.currentTimeMillis() - t0, System.currentTimeMillis())
-      writeManifest(out, rec)
-      rec
+      try {
+        val shardInput = input.filter(pmod(xxhash64(col("conv_id")), lit(nShards)) === k)
+        val result = job(shardInput)
+        result.write.mode("overwrite").parquet(s"$out/shard=$k")
+        val rows = result.sparkSession.read.parquet(s"$out/shard=$k").count()
+        val rec = ShardRecord(k, rows, System.currentTimeMillis() - t0, System.currentTimeMillis())
+        writeManifest(out, rec)
+        Some(rec)
+      } catch {
+        case e: Exception if ignoreErrors =>
+          // error side-sink: shard-K failure recorded next to the manifest,
+          // shard NOT marked complete → retried on resume
+          Files.createDirectories(manifestDir(out))
+          Files.write(manifestDir(out).resolve(s"error-$k.log"),
+            s"${e.getClass.getName}: ${e.getMessage}\n".getBytes("UTF-8"))
+          None
+      }
     }
   }
 

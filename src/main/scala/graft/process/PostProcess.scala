@@ -71,6 +71,24 @@ object PostProcess {
     df.select((pri ++ rest).map(col): _*)
   }
 
+  /** S8: merge two runs' feature matrices — musiF `merge_dataframes`
+    * (process/utils.py:234-254): align on column names (missing columns
+    * null-filled), drop rows without a key.
+    */
+  def mergeRuns(a: DataFrame, b: DataFrame, key: String = "conv_id"): DataFrame =
+    a.unionByName(b, allowMissingColumns = true).filter(col(key).isNotNull)
+
+  /** S6: export sinks — CSV for reference-workflow parity (musiF
+    * DataProcessor.save, process/processor.py:239-270), parquet as the
+    * native columnar path. Map/array columns must be exploded or rendered
+    * before CSV (CSV is scalar-only), matching the reference's wide layout.
+    */
+  def saveCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def saveParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
   /** Reference-style scope-prefixed export names
     * (musif/extract/features/prefix.py:4-126): `role_user_n_turns` →
     * `RoleUser_NTurns`-style rendering for users migrating from the
