@@ -71,6 +71,13 @@ object Bench {
     // — 1. per-query timings at the driver-requested parallelism —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
     val spark0 = session(cpus)
+    if (doQueries) {
+      // untimed warmup: pay codegen/parquet-footer/first-shuffle costs once,
+      // not inside whichever query sorts first alphabetically
+      try SparkEntry.queries("q_census_role")(spark0, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
     val results = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark0, sfDir).write.mode("overwrite").format("noop").save() }

@@ -75,14 +75,16 @@ object TextFns {
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
     val toks = df.select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
       .withColumn("h", md5Long(col("tok")))
-    val bitsDf = df.sparkSession.range(bits).select(col("id").cast("int").as("b"))
-    toks.crossJoin(broadcast(bitsDf))
-      .withColumn("sgn", expr("(shiftright(h, b) & 1) * 2 - 1"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("sgn")).as("s"))
-      .withColumn("contrib",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-      .groupBy(col(idCol))
-      .agg(sum(col("contrib")).as("simhash"))
+    // one conditional-sum aggregate per bit instead of a x`bits` row
+    // fan-out: the naive explode(doc x bit) form shuffled 60x the token
+    // rows; this is a single partial-aggregable pass
+    val bitSums = (0 until bits).map(b =>
+      sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"__s$b"))
+    val contrib = (0 until bits)
+      .map(b => when(col(s"__s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), contrib.as("simhash"))
   }
 }
