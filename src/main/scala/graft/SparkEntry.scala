@@ -527,6 +527,15 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // ——— native event-time tumbling windows (streaming-shared form) ———
+    "q_tumbling_weeks" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .groupBy(col("conv_id"), window(col("ts").cast("timestamp"), "7 days").as("w"))
+        .agg(count(lit(1)).as("n_turns"), count(col("tool")).as("n_tool_calls"))
+        .select(col("conv_id"), unix_micros(col("w.start")).as("w_start_us"),
+          col("n_turns"), col("n_tool_calls"))
+        .orderBy("conv_id", "w_start_us")),
+
     // ——— FLAGSHIP: the full per-conversation wide feature matrix ———
     // All modules fused: one enrich chain (lag + sessionize + as-of state)
     // over the ordered turns, ONE shared HashAggregate, three small
@@ -1045,6 +1054,13 @@ object SparkEntry {
         |  round(sum(len * gap_s) / sum(gap_s), 6) AS len_weighted_mean,
         |  round(avg(dlen), 6) AS len_gradient_mean
         |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_tumbling_weeks" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  (epoch_us(ts) // 604800000000) * 604800000000 AS w_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(count(tool) AS BIGINT) AS n_tool_calls
+        |FROM turns GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_feature_matrix" -> Oracle.withTurnsAndState(
       s""", base AS (
