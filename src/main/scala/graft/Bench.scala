@@ -96,7 +96,7 @@ object Bench {
       // when 2 vs 8 measures ~0.86 — a single-box artifact a real
       // 4x-node cluster does not have)
       val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       def timedRun(cores: Int, warm: Boolean): Double = {
         val s = session(cores, sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "64").toInt)
         if (warm) flagshipRun(s, corpusDir) // JIT/codegen warm (first pair only)
