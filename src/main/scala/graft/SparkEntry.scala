@@ -232,11 +232,18 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ——— exact dedup: keeper mapping by text identity ———
+    // Shuffle hygiene at scale: group by the 60-bit md5 fingerprint, not
+    // the raw text — the shuffle key is 8 bytes instead of the full
+    // document. Collision risk is accepted explicitly: P(any collision)
+    // ≈ n²/2^61 (~1e-7 at n=100M docs); a paranoid variant would re-verify
+    // text equality within fingerprint groups.
     "q_dedup_exact" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
       val d = Tables.documents(s, dir)
-      val groups = d.groupBy("text").agg(
+        .select(col("doc_id"), md5Long(col("text")).as("__fp"))
+      val groups = d.groupBy("__fp").agg(
         min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-      d.join(groups, Seq("text"))
+      d.join(groups, Seq("__fp"))
         .select(col("doc_id"), col("keeper"), col("n_copies"))
         .orderBy("doc_id")
     }),
@@ -353,13 +360,25 @@ object SparkEntry {
         .orderBy("conv_id")),
 
     // ——— SimHash near-dup pairs: hamming ≤ 6 within source ———
+    // Scale path (no all-pairs join): pigeonhole the 60-bit hash into 7
+    // bands — hamming ≤ 6 guarantees ≥ 1 band equal — equi-join candidates
+    // on (source, band_idx, band_val), verify exact hamming on candidates.
+    // Same answer as the quadratic form, but the join is hash-bucketed:
+    // cost is Σ bucket² over ~2^9-value buckets, not Σ source².
     "q_simhash_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sh = graft.functions.TextFns.simhash(docs, "doc_id", "text")
         .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
-      val a = sh.select(col("doc_id").as("da"), col("simhash").as("ha"), col("source"))
-      val b = sh.select(col("doc_id").as("db"), col("simhash").as("hb"), col("source"))
-      a.join(b, Seq("source")).filter(col("da") < col("db"))
+      val banded = graft.functions.TextFns.hashBands(sh, "simhash", 60, 7)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("a.simhash").as("ha"),
+          col("b.doc_id").as("db"), col("b.simhash").as("hb"))
+        .distinct()
+      cand
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
         .filter(col("hamming") <= 6)
         .select("da", "db", "hamming")
@@ -522,7 +541,10 @@ object SparkEntry {
         .withColumn("dlen", abs(col("len") - lag(col("len"), 1).over(w)))
         .groupBy("conv_id")
         .agg(
-          round(sum(col("len") * col("gap_s")) / sum(col("gap_s")), 6).as("len_weighted_mean"),
+          // guard sum(gap)=0 (all turns at one instant): Spark divide gives
+          // NULL, DuckDB float division gives NaN/inf — pin both to NULL
+          round(when(sum(col("gap_s")) > 0,
+            sum(col("len") * col("gap_s")) / sum(col("gap_s"))), 6).as("len_weighted_mean"),
           round(avg(col("dlen")), 6).as("len_gradient_mean"))
         .orderBy("conv_id")
     }),
@@ -852,14 +874,14 @@ object SparkEntry {
         |  SELECT conv_id, ts, NULL, state_val, 1 FROM state
         |), f AS (
         |  SELECT conv_id, ts, turn_idx, is_state,
-        |    last_value(CASE WHEN is_state = 1 THEN sv END IGNORE NULLS) OVER w AS sval,
-        |    last_value(CASE WHEN is_state = 1 THEN ts END IGNORE NULLS) OVER w AS sts
+        |    last_value(CASE WHEN is_state = 1 THEN {'sts': ts, 'sval': sv} END IGNORE NULLS)
+        |      OVER w AS st
         |  FROM u WINDOW w AS (PARTITION BY conv_id ORDER BY ts, is_state DESC
         |                      ROWS UNBOUNDED PRECEDING)
         |)
         |SELECT conv_id, turn_idx,
-        |  CASE WHEN sts IS NOT NULL AND epoch_us(ts) - epoch_us(sts) <= 172800000000
-        |       THEN sval END AS state_val
+        |  CASE WHEN epoch_us(ts) - epoch_us(st.sts) <= 172800000000
+        |       THEN st.sval END AS state_val
         |FROM f WHERE is_state = 0 ORDER BY conv_id, turn_idx""".stripMargin),
 
     "q_bfill_tool" -> Oracle.withTurns(
@@ -1051,7 +1073,8 @@ object SparkEntry {
         |        - lag(CAST(length(text) AS DOUBLE)) OVER w) AS dlen
         |  FROM turns WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
         |SELECT conv_id,
-        |  round(sum(len * gap_s) / sum(gap_s), 6) AS len_weighted_mean,
+        |  round(CASE WHEN sum(gap_s) > 0 THEN sum(len * gap_s) / sum(gap_s) END, 6)
+        |    AS len_weighted_mean,
         |  round(avg(dlen), 6) AS len_gradient_mean
         |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 

@@ -50,7 +50,11 @@ object Tables {
           .when(col("event_type") === "signup", "system")
           .when(col("event_type") === "purchase", "assistant")
           .otherwise("tool").as("role"),
-        concat_ws(":", col("event_type"), col("event_id").cast("string"), col("props")).as("text"),
+        // concat (NULL-propagating) not concat_ws (NULL-skipping): the
+        // oracle builds text with `||`, which yields NULL if any part is
+        // NULL — both engines must agree on that edge.
+        concat(col("event_type"), lit(":"), col("event_id").cast("string"),
+          lit(":"), col("props")).as("text"),
         when(col("event_type").isin("error", "purchase"),
           concat(lit("tool_"), (col("event_id") % 4).cast("string")))
           .otherwise(lit(null).cast("string")).as("tool"),
@@ -67,7 +71,7 @@ object Tables {
       .select(
         convId.as("conv_id"),
         col("ts"),
-        concat_ws("_", col("event_type"), (col("event_id") % 10).cast("string")).as("state_val"))
+        concat(col("event_type"), lit("_"), (col("event_id") % 10).cast("string")).as("state_val"))
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

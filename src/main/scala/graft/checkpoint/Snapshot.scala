@@ -30,11 +30,15 @@ object Snapshot {
   def completedShards(out: String): Set[Int] = {
     val dir = manifestDir(out)
     if (!Files.exists(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("shard-") && s.endsWith(".json") =>
-        s.stripPrefix("shard-").stripSuffix(".json").toInt }
-      .toSet
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("shard-") && s.endsWith(".json") =>
+          s.stripPrefix("shard-").stripSuffix(".json").toInt }
+        .toSet
+      finally stream.close() // Files.list holds an fd until closed
+    }
   }
 
   private def writeManifest(out: String, rec: ShardRecord): Unit = {
@@ -97,7 +101,17 @@ object Snapshot {
     recs.toDF()
   }
 
-  /** Read the full snapshot back (all shards). */
-  def read(spark: SparkSession, out: String): DataFrame =
-    spark.read.parquet(s"$out/shard=*")
+  /** Read the snapshot back — manifest-committed shards ONLY. A `shard=*`
+    * glob would also pick up directories written but never recorded
+    * (crash between data write and manifest commit), silently including
+    * partial output; the manifest is the commit log, so it is the source
+    * of truth for what is readable.
+    */
+  def read(spark: SparkSession, out: String): DataFrame = {
+    val done = completedShards(out).toSeq.sorted
+    require(done.nonEmpty, s"no committed shards under $out")
+    // explicit roots, no basePath: no partition-column inference — schema
+    // stays exactly the job's output schema, as with the old glob read
+    spark.read.parquet(done.map(k => s"$out/shard=$k"): _*)
+  }
 }

@@ -87,4 +87,28 @@ object TextFns {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), contrib.as("simhash"))
   }
+
+  /** Explode a `bits`-wide hash column into `nBands` (band_idx, band_val)
+    * rows — the pigeonhole index for Hamming-ball search: two hashes within
+    * Hamming distance d < nBands MUST agree on at least one band, so
+    * near-dup candidates are an equi-join on (band_idx, band_val) instead
+    * of an all-pairs scan. Band widths differ by at most one bit
+    * (60 bits / 7 bands → 9,9,9,9,8,8,8).
+    */
+  def hashBands(df: DataFrame, hashCol: String, bits: Int, nBands: Int): DataFrame = {
+    require(nBands > 0 && nBands <= bits)
+    val base = bits / nBands
+    val rem = bits % nBands
+    val bands = (0 until nBands).map { i =>
+      val width = if (i < rem) base + 1 else base
+      val offset = i * base + math.min(i, rem)
+      struct(lit(i).as("band_idx"),
+        (shiftright(col(hashCol), offset).bitwiseAND(lit((1L << width) - 1)))
+          .as("band_val"))
+    }
+    df.withColumn("__band", explode(array(bands: _*)))
+      .withColumn("band_idx", col("__band.band_idx"))
+      .withColumn("band_val", col("__band.band_val"))
+      .drop("__band")
+  }
 }

@@ -61,24 +61,25 @@ object AsOf {
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, tieOrder)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val filled0 = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(when(col("__is_state") === 1, col(v)), ignoreNulls = true).over(w))
-    }
-    val matched = filled0.filter(col("__is_state") === 0)
+    // Track the matched state row as ONE struct(ts, values...): the carried
+    // values and the staleness timestamp always come from the SAME (latest)
+    // state row. Tracking each value column with its own last(ignoreNulls)
+    // would skip state rows whose value is NULL — an older non-NULL value
+    // would leak through the latest state's explicit NULL, diverging from
+    // DuckDB/pandas ASOF semantics.
+    val stRow = struct((ts +: valueCols).map(col): _*)
+    val matched = unioned
+      .withColumn("__st",
+        last(when(col("__is_state") === 1, stRow), ignoreNulls = true).over(w))
+      .filter(col("__is_state") === 0)
     val result = toleranceUs match {
-      case None => matched
+      case None =>
+        valueCols.foldLeft(matched)((df, v) => df.withColumn(v, col("__st").getField(v)))
       case Some(tol) =>
-        // carry the matched state's timestamp through the same window and
-        // null-out values when it is too stale
-        val withSts = valueCols.foldLeft(
-          filled0.withColumn("__sts",
-            last(when(col("__is_state") === 1, unix_micros(col(ts).cast("timestamp"))),
-              ignoreNulls = true).over(w))
-            .filter(col("__is_state") === 0)) { (df, v) =>
-          df.withColumn(v,
-            when(unix_micros(col(ts).cast("timestamp")) - col("__sts") <= tol, col(v)))
-        }
-        withSts
+        val fresh = unix_micros(col(ts).cast("timestamp")) -
+          unix_micros(col("__st").getField(ts).cast("timestamp")) <= tol
+        valueCols.foldLeft(matched)((df, v) =>
+          df.withColumn(v, when(fresh, col("__st").getField(v))))
     }
     result.select((leftCols ++ valueCols).map(col): _*)
   }

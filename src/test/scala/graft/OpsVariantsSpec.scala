@@ -30,6 +30,104 @@ class OpsVariantsSpec extends SparkSpec {
     assert(got(2).isEmpty)
   }
 
+  test("as-of: latest state row wins even when its value is NULL") {
+    // Regression (ADVICE r1): per-column last(ignoreNulls) let an OLDER
+    // non-null value leak through the latest state's explicit NULL. The
+    // struct-tracked form must return the latest row's NULL.
+    val turns = Seq(("a", 0, ts("2024-01-01 00:00:30"))).toDF("conv_id", "turn_idx", "ts")
+    val state = Seq(
+      ("a", ts("2024-01-01 00:00:00"), Some("s0")),
+      ("a", ts("2024-01-01 00:00:20"), None: Option[String])
+    ).toDF("conv_id", "ts", "state_val")
+    val got = AsOf.join(turns, state, "conv_id", "ts", Seq("state_val"))
+      .select("state_val").as[Option[String]].head()
+    assert(got.isEmpty, "latest state's NULL must not be bypassed")
+  }
+
+  test("as-of tolerance: staleness measured from the MATCHED row, value and ts from the same row") {
+    // Latest state has NULL value; an older row has a value. The match is
+    // the latest row, so (a) value is NULL, and (b) even within tolerance
+    // of the older row, nothing from it may leak.
+    val turns = Seq(
+      ("a", 0, ts("2024-01-01 00:30:00")),
+      ("a", 1, ts("2024-01-01 03:00:00"))).toDF("conv_id", "turn_idx", "ts")
+    val state = Seq(
+      ("a", ts("2024-01-01 00:00:00"), Some("s0")),
+      ("a", ts("2024-01-01 00:20:00"), None: Option[String])
+    ).toDF("conv_id", "ts", "state_val")
+    val m = AsOf.join(turns, state, "conv_id", "ts", Seq("state_val"),
+        AsOf.AtOrBefore, toleranceUs = Some(3600L * 1000000))
+      .collect().map(r => r.getInt(1) -> Option(r.getAs[String]("state_val"))).toMap
+    assert(m(0).isEmpty) // matched row (00:20, NULL) is fresh but valueless
+    assert(m(1).isEmpty) // matched row stale anyway
+  }
+
+  test("as-of multi-column values all come from one state row") {
+    val turns = Seq(("a", 0, ts("2024-01-01 00:00:30"))).toDF("conv_id", "turn_idx", "ts")
+    val state = Seq(
+      ("a", ts("2024-01-01 00:00:00"), Some("x0"), Some("y0")),
+      ("a", ts("2024-01-01 00:00:20"), Some("x1"), None: Option[String])
+    ).toDF("conv_id", "ts", "xv", "yv")
+    val r = AsOf.join(turns, state, "conv_id", "ts", Seq("xv", "yv")).head()
+    assert(Option(r.getAs[String]("xv")).contains("x1"))
+    assert(Option(r.getAs[String]("yv")).isEmpty) // NOT y0 — same-row rule
+  }
+
+  test("TrimmedMeanAgg: 200k-value group in sane time, exact vs window-rank form") {
+    // O(n) amortized buffering: the old `buf :+ v` form was O(n²) — ~2·10¹⁰
+    // element copies for this group; it would not finish inside the bound.
+    val n = 200000
+    val df = spark.range(n)
+      .select(lit("big").as("conv_id"),
+        // deterministic pseudo-random values with heavy tails
+        (pmod(xxhash64(col("id")), lit(10007)).cast("double")).as("v"))
+    val t0 = System.nanoTime()
+    val agg = df.groupBy("conv_id")
+      .agg(graft.functions.TrimmedMeanAgg(0.1)(col("v")).as("tm"))
+      .as[(String, Double)].head()._2
+    val secs = (System.nanoTime() - t0) / 1e9
+    val oracle = graft.functions.Stats.trimmedMean(df, "v", 0.1, "tm", "conv_id")
+      .as[(String, Double)].head()._2
+    assert(math.abs(agg - oracle) < 1e-6, s"agg=$agg oracle=$oracle")
+    assert(secs < 60, s"took ${secs}s — buffering regressed to quadratic?")
+  }
+
+  test("banded simhash near-dup equals all-pairs form (pigeonhole completeness)") {
+    import graft.functions.TextFns._
+    // random-ish 60-bit hashes plus planted near-dups at hamming 1..6
+    val base = spark.range(60)
+      .select(col("id").as("doc_id"), pmod(xxhash64(col("id")), shiftleft(lit(1L), 60)).as("h"),
+        lit("s").as("source"))
+    val planted = base.filter(col("doc_id") < 6)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        // flip doc_id+1 low bits => hamming = doc_id+1
+        col("h").bitwiseXOR(shiftleft(lit(1L), 0) +
+          when(col("doc_id") >= 1, shiftleft(lit(1L), 13)).otherwise(0) +
+          when(col("doc_id") >= 2, shiftleft(lit(1L), 27)).otherwise(0) +
+          when(col("doc_id") >= 3, shiftleft(lit(1L), 41)).otherwise(0) +
+          when(col("doc_id") >= 4, shiftleft(lit(1L), 55)).otherwise(0) +
+          when(col("doc_id") >= 5, shiftleft(lit(1L), 59)).otherwise(0)).as("h"),
+        col("source"))
+    val all = base.unionByName(planted)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = df
+      .select("da", "db", "hamming").as[(Long, Long, Long)].collect().toSet
+    val brute = pairs(all.as("a").join(all.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6))
+    val banded0 = hashBands(all, "h", 60, 7)
+    val banded = pairs(banded0.as("a").join(banded0.as("b"),
+        col("a.source") === col("b.source") && col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.h").as("ha"),
+        col("b.doc_id").as("db"), col("b.h").as("hb")).distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 6))
+    assert(banded == brute)
+    assert(brute.size >= 6, s"planted pairs missing: ${brute.size}")
+  }
+
   test("salted aggregation equals direct groupBy on skewed data") {
     val turns = graft.datagen.TranscriptGen.turns(spark, 30, skewEvery = 29)
       .withColumn("text_len", length(col("text")).cast("long"))
