@@ -6,39 +6,57 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Benchmark main (driver contract: ONE JSON line on stdout).
   *
   * Two measurements:
-  *  1. per-query wall times over SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS
-  *     (the driver's headline numbers);
+  *  1. per-query wall times over SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS —
+  *     `SPARK_GRAFT_QUERY_REPS` (default 3) interleaved rounds over the
+  *     whole query set, per-query MEDIAN reported, so one ambient-noise
+  *     burst cannot poison a query's headline number (round-1 lesson:
+  *     single-shot timings showed 26-37s for single-Window plans);
   *  2. the scaling gate (BASELINE.md / BENCH.md): the flagship job over the
-  *     SAME input files at local[N] and local[4N] (default N=2), pairs run
-  *     back-to-back per rep; efficiency = median of per-pair (tN/t4N)/4.
-  *     Evidence protocol for the north rule's N→4N executor criterion (no
-  *     real cluster in sandbox). Appends to BENCH.md. Skipped when
-  *     SPARK_GRAFT_SCALING=0.
+  *     SAME input files at local[N] and local[4N] (default N=2), run as
+  *     back-to-back pairs with outlier rejection — see [[scalingEvidence]].
+  *     Appends a row into BENCH.md's table (at the `<!-- bench-rows -->`
+  *     marker). Skipped when SPARK_GRAFT_SCALING=0.
   */
 object Bench {
 
-  private def session(cpus: Int, shufflePartitions: Int = 0): SparkSession = {
+  private def session(cpus: Int, shufflePartitions: Int = 0,
+                      forScaling: Boolean = false): SparkSession = {
     val sp = if (shufflePartitions > 0) shufflePartitions else cpus
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b2 = if (forScaling) b
+      // Scaling runs pin the physical plan IDENTICAL at both core counts:
+      //  - AQE coalescing targets ~64MB partitions, which at the bench
+      //    corpus size merges the shuffle down to ~16 fat partitions —
+      //    capping the high-side's usable parallelism while barely
+      //    affecting the low side (measured as chronic eff ~0.5-0.7 in
+      //    round 1). Partition count must be a constant of the JOB, not
+      //    of the data:cores ratio, for a parallelism experiment.
+      //  - 32MB scan splits keep the parquet scan stage at ≥ 4N tasks.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+    else b
+    val s = b2.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   /** Materialize the deterministic corpus once (same bytes regardless of
     * parallelism) so timed runs measure the ENGINE on a real table scan,
-    * not the generator.
+    * not the generator. 64 files → scan stage splits evenly at any core
+    * count.
     */
   private def materializeCorpus(spark: SparkSession, nConvs: Long, dir: String): Long = {
     graft.datagen.TranscriptGen.turns(spark, nConvs)
+      .repartition(64)
       .write.mode("overwrite").parquet(s"$dir/turns")
     graft.datagen.TranscriptGen.state(spark, nConvs)
+      .repartition(16)
       .write.mode("overwrite").parquet(s"$dir/state")
     spark.read.parquet(s"$dir/turns").count()
   }
@@ -54,14 +72,109 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  final case class ScalePair(rep: Int, tLow: Double, tHigh: Double) {
+    def eff: Double = tLow / tHigh / 4.0
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Outlier rejection (round-1 lesson: one 14x ambient-noise rep poisoned
+    * the reported median into a physically-implausible 1.8): a pair is
+    * CLEAN iff both wall times are within 2x of the across-pair median on
+    * their side AND the implied efficiency is physically plausible
+    * (0 < eff ≤ 1.05 — N→4N on identical work cannot beat 1.0; 5% grace
+    * for residual noise).
+    */
+  def cleanPairs(ps: Seq[ScalePair]): Seq[ScalePair] = {
+    if (ps.isEmpty) return Nil
+    val mLow = median(ps.map(_.tLow))
+    val mHigh = median(ps.map(_.tHigh))
+    ps.filter(p =>
+      p.tLow <= 2 * mLow && p.tLow >= mLow / 2 &&
+        p.tHigh <= 2 * mHigh && p.tHigh >= mHigh / 2 &&
+        p.eff > 0 && p.eff <= 1.05)
+  }
+
+  /** North-rule N→4N evidence protocol (no real cluster in sandbox):
+    * identical job + identical input files at local[N] vs local[4N],
+    * back-to-back pairs (both sides of a pair see the same ambient load),
+    * shuffle partitioning and scan splits pinned identical on both sides,
+    * pairs run until ≥ `minClean` survive outlier rejection (or
+    * `maxPairs` attempts), efficiency = median over clean pairs.
+    */
+  private def scalingEvidence(corpusDir: String, nTurns: Long,
+                              repLog: scala.collection.mutable.ArrayBuffer[String])
+      : (Long, Double, Double, Double, Int, Int) = {
+    val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
+    val minClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_CLEAN", "5").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "8").toInt
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "192").toInt
+
+    def timedRun(cores: Int, warm: Boolean): Double = {
+      val s = session(cores, parts, forScaling = true)
+      if (warm) flagshipRun(s, corpusDir) // JIT/codegen warm (first pair only)
+      val sec = flagshipRun(s, corpusDir)
+      s.stop()
+      sec
+    }
+
+    val pairs = scala.collection.mutable.ArrayBuffer[ScalePair]()
+    var r = 0
+    while (r < maxPairs && (r < minClean || cleanPairs(pairs.toSeq).size < minClean)) {
+      r += 1
+      val tLow = timedRun(nLow, warm = r == 1)
+      val tHigh = timedRun(nLow * 4, warm = r == 1)
+      val p = ScalePair(r, tLow, tHigh)
+      pairs += p
+      val msg = f"rep $r: local[$nLow]=$tLow%.1fs local[${nLow * 4}]=$tHigh%.1fs eff=${p.eff}%.3f"
+      System.err.println(s"[bench] $msg")
+      repLog += msg
+    }
+    val clean = cleanPairs(pairs.toSeq)
+    val rejected = pairs.size - clean.size
+    if (rejected > 0)
+      repLog += s"rejected ${rejected} outlier pair(s): " +
+        pairs.filterNot(clean.contains).map(p => f"rep ${p.rep} (eff=${p.eff}%.3f)").mkString(", ")
+    val eff = median(clean.map(_.eff))
+    val tpsLow = median(clean.map(p => nTurns / p.tLow))
+    val tpsHigh = median(clean.map(p => nTurns / p.tHigh))
+    (nTurns, tpsLow, tpsHigh, eff, clean.size, rejected)
+  }
+
+  /** Insert a row right after the `<!-- bench-rows -->` marker inside the
+    * BENCH.md table (round-1 bug: plain append landed rows after the prose
+    * BELOW the table).
+    */
+  private def appendBenchRow(line: String): Unit = {
+    val p = Paths.get("BENCH.md")
+    val marker = "<!-- bench-rows -->"
+    if (!Files.exists(p)) {
+      Files.write(p,
+        ("# BENCH — measured scaling evidence\n\n" +
+          "| when | turns | turns/sec N | turns/sec 4N | efficiency (tpsN/tps4N)/4 | pairs (clean/total) | reps |\n" +
+          "|---|---|---|---|---|---|---|\n" + marker + "\n").getBytes("UTF-8"))
+    }
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    val out =
+      if (txt.contains(marker)) txt.replace(marker, marker + "\n" + line.stripSuffix("\n"))
+      else txt + "\n" + line
+    Files.write(p, out.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "96000").toLong
 
-    // — 1. per-query timings at the driver-requested parallelism —
+    // — 1. per-query timings: interleaved rounds, per-query median —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
     val spark0 = session(cpus)
     if (doQueries) {
       // untimed warmup: pay codegen/parquet-footer/first-shuffle costs once,
@@ -70,77 +183,40 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    val results = (if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1) else Nil).map { case (name, fn) =>
+    val names = if (doQueries) SparkEntry.queries.keys.toSeq.sorted else Nil
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (_ <- 1 to (if (doQueries) queryReps else 0); name <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark0, sfDir).write.mode("overwrite").format("noop").save() }
+      try { SparkEntry.queries(name)(spark0, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
+    val results = names.map(n => n -> median(samples(n)))
     spark0.stop()
 
-    // — 2. scaling evidence: identical job + identical input files,
-    //      local[N] vs local[4N], interleaved paired reps —
+    // — 2. scaling evidence —
     val repLog = scala.collection.mutable.ArrayBuffer[String]()
-    val scaling: Option[(Long, Double, Double, Double)] = if (doScaling) {
+    val scaling: Option[(Long, Double, Double, Double, Int, Int)] = if (doScaling) {
       val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
       val sPrep = session(32)
       val nTurns = materializeCorpus(sPrep, scalingConvs, corpusDir)
       sPrep.stop()
-      // Identical shuffle partitioning (64) at BOTH core counts — otherwise
-      // per-partition memory footprint, not parallelism, would differ
-      // (fat partitions spill). Pairs run back-to-back per rep so ambient
-      // load biases both sides of a pair equally.
-      // N=2 default: 2 vs 8 of 32 cores leaves the box unsaturated, so the
-      // measurement isolates parallelism from shared memory-bandwidth
-      // contention (8 vs 32 threads on one socket measured ~0.5-0.6 even
-      // when 2 vs 8 measures ~0.86 — a single-box artifact a real
-      // 4x-node cluster does not have)
-      val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-      def timedRun(cores: Int, warm: Boolean): Double = {
-        val s = session(cores, sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "64").toInt)
-        if (warm) flagshipRun(s, corpusDir) // JIT/codegen warm (first pair only)
-        val sec = flagshipRun(s, corpusDir)
-        s.stop()
-        sec
-      }
-      val pairs = (1 to reps).map { r =>
-        val tLow = timedRun(nLow, warm = r == 1)
-        val tHigh = timedRun(nLow * 4, warm = r == 1)
-        val eff = (tLow / tHigh) / 4.0
-        val msg = f"rep $r: local[$nLow]=$tLow%.1fs local[${nLow * 4}]=$tHigh%.1fs eff=$eff%.3f"
-        System.err.println(s"[bench] $msg")
-        repLog += msg
-        (nTurns / tLow, nTurns / tHigh, eff)
-      }
-      val tps8 = pairs.map(_._1).max
-      val tps32 = pairs.map(_._2).max
-      // efficiency = MEDIAN of per-pair (back-to-back) efficiencies: each
-      // pair sees the same ambient load, so pairing controls drift on a
-      // shared box; ratio-of-best-across-reps does not
-      val effMedian = pairs.map(_._3).sorted.apply(pairs.size / 2)
-      Some((nTurns, tps8, tps32, effMedian))
+      Some(scalingEvidence(corpusDir, nTurns, repLog))
     } else None
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val scalingJson = scaling.map { case (n, tps8, tps32, eff) =>
-      f""","scaling":{"turns":$n,"n_low":${sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2")},"turns_per_sec_n":$tps8%.1f,"turns_per_sec_4n":$tps32%.1f,"efficiency":$eff%.3f}"""
+    val scalingJson = scaling.map { case (n, tpsL, tpsH, eff, nClean, nRej) =>
+      f""","scaling":{"turns":$n,"n_low":${sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2")},"turns_per_sec_n":$tpsL%.1f,"turns_per_sec_4n":$tpsH%.1f,"efficiency":$eff%.3f,"clean_pairs":$nClean,"rejected_pairs":$nRej}"""
     }.getOrElse("")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
 
-    scaling.foreach { case (n, tps8, tps32, eff) =>
-      val line = f"| ${java.time.Instant.now()} | $n | $tps8%.0f | $tps32%.0f | $eff%.3f | ${repLog.mkString("; ")} |\n"
-      val p = Paths.get("BENCH.md")
-      if (!Files.exists(p)) Files.write(p,
-        ("# BENCH — measured scaling evidence\n\n" +
-          "Flagship feature-matrix job on the deterministic generated corpus, " +
-          "identical input at two parallelism levels (scaling gate protocol, BASELINE.md).\n\n" +
-          "| when | turns | turns/sec N | turns/sec 4N | efficiency (tps4N/tpsN)/4 | reps (interleaved, best-of) |\n" +
-          "|---|---|---|---|---|---|\n").getBytes("UTF-8"))
-      Files.write(p, line.getBytes("UTF-8"), StandardOpenOption.APPEND)
+    scaling.foreach { case (n, tpsL, tpsH, eff, nClean, nRej) =>
+      appendBenchRow(
+        f"| ${java.time.Instant.now()} | $n | $tpsL%.0f | $tpsH%.0f | $eff%.3f | $nClean/${nClean + nRej} | ${repLog.mkString("; ")} |")
     }
   }
 }

@@ -458,6 +458,14 @@ object SparkEntry {
       graft.features.Windowed.featureMatrixWindowed(Tables.turns(s, dir))
         .orderBy("conv_id", "window_id")),
 
+    // ——— W8 window mode × FULL module registry (reference: all modules
+    //     re-run per window, extract.py:416-464): one fan-out, composite
+    //     per-window key, ONE shared HashAggregate of every module's aggs ———
+    "q_feature_matrix_windowed_full" -> ((s, dir) =>
+      graft.features.Windowed.featureMatrixWindowedFull(
+          Tables.turns(s, dir), Some(Tables.state(s, dir)))
+        .orderBy("conv_id", "window_id")),
+
     // ——— W3 motion: resample → derivative → centered rolling mean ———
     "q_motion" -> ((s, dir) =>
       graft.features.Windowed.motion(Tables.turns(s, dir), stepSeconds = 120, win = 2)
@@ -548,6 +556,28 @@ object SparkEntry {
           round(avg(col("dlen")), 6).as("len_gradient_mean"))
         .orderBy("conv_id")
     }),
+
+    // ——— W7 tie-merge: fuse consecutive same-role turns (utterances) ———
+    "q_tie_merge" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val t = Tables.turns(s, dir)
+        .withColumn("text_len", length(col("text")).cast("long"))
+        .withColumn("__start",
+          lag(col("role"), 1).over(w).isNull ||
+            lag(col("role"), 1).over(w) =!= col("role"))
+      TieMerge.fuse(t, col("__start"), "role", "text_len")
+        .select(col("conv_id"), col("fuse_id"), col("role"),
+          col("text_len").as("len_sum"), col("n_fused"),
+          col("start_turn_idx"), col("end_turn_idx"))
+        .orderBy("conv_id", "fuse_id")
+    }),
+
+    // ——— W6 stateful ordered scan: tool-call episode assembly with
+    //     silence reset (flatMapSortedGroups escape hatch) ———
+    "q_tool_episodes" -> ((s, dir) =>
+      StatefulScan.toolEpisodes(Tables.turns(s, dir), resetSeconds = 604800L)
+        .toDF()
+        .orderBy("conv_id", "episode_id")),
 
     // ——— native event-time tumbling windows (streaming-shared form) ———
     "q_tumbling_weeks" -> ((s, dir) =>
@@ -984,6 +1014,117 @@ object SparkEntry {
         |  ON t.conv_id = w.conv_id AND t.turn_idx BETWEEN w.wid * 6 AND w.wid * 6 + 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    "q_feature_matrix_windowed_full" -> Oracle.withTurnsAndState(
+      s""", tj AS (
+        |  SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts, s.state_val
+        |  FROM turns t ASOF LEFT JOIN state s
+        |    ON t.conv_id = s.conv_id AND t.ts >= s.ts
+        |), convn AS (SELECT conv_id, count(*) AS n FROM turns GROUP BY 1),
+        |wins AS (SELECT conv_id, unnest(range(0, CAST(greatest((n - 2) // 6, 1) AS BIGINT))) AS wid
+        |         FROM convn),
+        |base AS (
+        |  SELECT w.wid, t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts, t.state_val,
+        |    epoch_us(t.ts) - epoch_us(lag(t.ts) OVER pw) AS delta_us,
+        |    lag(t.role) OVER pw AS prev_role
+        |  FROM wins w JOIN tj t
+        |    ON t.conv_id = w.conv_id AND t.turn_idx BETWEEN w.wid * 6 AND w.wid * 6 + 7
+        |  WINDOW pw AS (PARTITION BY t.conv_id, w.wid ORDER BY t.turn_idx)
+        |), b2 AS (
+        |  SELECT *, sum(CASE WHEN delta_us > ${SessionGapSeconds}000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY conv_id, wid ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM base
+        |), mainp AS (
+        |  SELECT conv_id, wid,
+        |    count(CASE WHEN role = 'user' THEN 1 END) AS role_user_n_turns,
+        |    round(avg(CASE WHEN role = 'user' THEN length(text) END), 6) AS role_user_len_mean,
+        |    count(CASE WHEN role = 'assistant' THEN 1 END) AS role_assistant_n_turns,
+        |    round(avg(CASE WHEN role = 'assistant' THEN length(text) END), 6) AS role_assistant_len_mean,
+        |    count(CASE WHEN role = 'system' THEN 1 END) AS role_system_n_turns,
+        |    round(avg(CASE WHEN role = 'system' THEN length(text) END), 6) AS role_system_len_mean,
+        |    count(CASE WHEN role = 'tool' THEN 1 END) AS role_tool_n_turns,
+        |    round(avg(CASE WHEN role = 'tool' THEN length(text) END), 6) AS role_tool_len_mean,
+        |    count(*) AS n_turns,
+        |    count(tool) AS n_tool_calls,
+        |    count(DISTINCT tool) AS n_distinct_tools,
+        |    arg_min(role, turn_idx) AS first_role,
+        |    arg_max(role, turn_idx) AS last_role,
+        |    round(avg(delta_us / 1000000.0), 6) AS delta_ts_mean_s,
+        |    round(stddev_samp(delta_us / 1000000.0), 6) AS delta_ts_std_s,
+        |    count(CASE WHEN prev_role = role THEN 1 END) AS n_role_repeats,
+        |    CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+        |    round(CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 3.6e9, 6) AS active_hours,
+        |    round(CASE WHEN max(epoch_us(ts)) > min(epoch_us(ts))
+        |          THEN count(*) / (CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE) / 3.6e9)
+        |          END, 6) AS turns_per_hour,
+        |    round(CAST(count(tool) AS DOUBLE) / count(*), 6) AS tool_call_density,
+        |    round(avg(length(text)), 6) AS len_mean,
+        |    CAST(min(length(text)) AS BIGINT) AS len_min,
+        |    CAST(max(length(text)) AS BIGINT) AS len_max,
+        |    count(state_val) AS n_turns_with_state,
+        |    count(DISTINCT state_val) AS n_distinct_states,
+        |    CAST(count(*) AS DOUBLE) AS nn,
+        |    sum(CAST(length(text) AS DOUBLE)) AS s1,
+        |    sum(CAST(length(text) AS DOUBLE) * CAST(length(text) AS DOUBLE)) AS s2,
+        |    sum(CAST(length(text) AS DOUBLE) * CAST(length(text) AS DOUBLE)
+        |        * CAST(length(text) AS DOUBLE)) AS s3,
+        |    sum(CAST(length(text) AS DOUBLE) * CAST(length(text) AS DOUBLE)
+        |        * CAST(length(text) AS DOUBLE) * CAST(length(text) AS DOUBLE)) AS s4
+        |  FROM b2 GROUP BY conv_id, wid
+        |), main AS (
+        |  -- power-sum moment forms, op order mirroring the Spark side
+        |  -- bit-for-bit (exact integer sums; *, /, sqrt only): immune to
+        |  -- engine-specific streaming-moment rounding at round(,6) ties
+        |  SELECT * EXCLUDE (nn, s1, s2, s3, s4),
+        |    round(CASE WHEN nn >= 2
+        |          THEN sqrt((s2 - s1 * s1 / nn) / (nn - 1)) END, 6) AS len_std,
+        |    round(CASE WHEN nn >= 3 AND (s2 / nn - (s1 / nn) * (s1 / nn)) > 0 THEN
+        |          ((s3 / nn - 3 * (s1 / nn) * (s2 / nn)
+        |            + 2 * (s1 / nn) * (s1 / nn) * (s1 / nn))
+        |           / ((s2 / nn - (s1 / nn) * (s1 / nn))
+        |              * sqrt(s2 / nn - (s1 / nn) * (s1 / nn))))
+        |          * sqrt(nn * (nn - 1)) / (nn - 2) END, 6) AS len_skew,
+        |    round(CASE WHEN nn >= 4 AND (s2 / nn - (s1 / nn) * (s1 / nn)) > 0 THEN
+        |          ((nn + 1) * ((s4 / nn - 4 * (s1 / nn) * (s3 / nn)
+        |            + 6 * (s1 / nn) * (s1 / nn) * (s2 / nn)
+        |            - 3 * (s1 / nn) * (s1 / nn) * (s1 / nn) * (s1 / nn))
+        |           / ((s2 / nn - (s1 / nn) * (s1 / nn))
+        |              * (s2 / nn - (s1 / nn) * (s1 / nn))) - 3) + 6)
+        |          * (nn - 1) / ((nn - 2) * (nn - 3)) END, 6) AS len_kurt
+        |  FROM mainp
+        |), sessf AS (
+        |  SELECT conv_id, wid, round(avg(n), 6) AS sess_len_mean,
+        |         CAST(max(n) AS BIGINT) AS sess_len_max
+        |  FROM (SELECT conv_id, wid, session_id, count(*) AS n FROM b2 GROUP BY 1, 2, 3)
+        |  GROUP BY conv_id, wid
+        |), runbase AS (
+        |  SELECT conv_id, wid,
+        |    sum(CASE WHEN prev_role IS NULL OR prev_role <> role THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id, wid ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM b2
+        |), runf AS (
+        |  SELECT conv_id, wid, CAST(count(*) AS BIGINT) AS n_runs,
+        |         round(avg(run_len), 6) AS run_len_mean, CAST(max(run_len) AS BIGINT) AS run_len_max
+        |  FROM (SELECT conv_id, wid, run_id, count(*) AS run_len FROM runbase GROUP BY 1, 2, 3)
+        |  GROUP BY conv_id, wid
+        |), trimf AS (
+        |  SELECT conv_id, wid, round(avg(len), 6) AS len_trim_mean
+        |  FROM (SELECT conv_id, wid, CAST(length(text) AS DOUBLE) AS len,
+        |          row_number() OVER (PARTITION BY conv_id, wid ORDER BY length(text)) AS rn,
+        |          count(*) OVER (PARTITION BY conv_id, wid) AS n
+        |        FROM b2)
+        |  WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+        |  GROUP BY conv_id, wid
+        |)
+        |SELECT main.* EXCLUDE (wid), CAST(main.wid AS INTEGER) AS window_id,
+        |       sessf.sess_len_mean, sessf.sess_len_max,
+        |       trimf.len_trim_mean,
+        |       runf.n_runs, runf.run_len_mean, runf.run_len_max
+        |FROM main
+        |JOIN sessf USING (conv_id, wid)
+        |JOIN runf USING (conv_id, wid)
+        |JOIN trimf USING (conv_id, wid)
+        |ORDER BY conv_id, window_id""".stripMargin),
+
     "q_motion" -> Oracle.withTurnsCtes(
       """b AS (
         |  SELECT conv_id, turn_idx, CAST(length(text) AS DOUBLE) AS len,
@@ -1077,6 +1218,41 @@ object SparkEntry {
         |    AS len_weighted_mean,
         |  round(avg(dlen), 6) AS len_gradient_mean
         |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_tie_merge" -> Oracle.withTurnsCtes(
+      """f AS (
+        |  SELECT conv_id, turn_idx, role, length(text) AS tl,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> role THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+        |      - 1 AS INTEGER) AS fuse_id
+        |  FROM (SELECT conv_id, turn_idx, role, text,
+        |          lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        |        FROM turns)
+        |)
+        |SELECT conv_id, fuse_id, arg_min(role, turn_idx) AS role,
+        |       CAST(sum(tl) AS BIGINT) AS len_sum,
+        |       CAST(count(*) AS BIGINT) AS n_fused,
+        |       CAST(min(turn_idx) AS INTEGER) AS start_turn_idx,
+        |       CAST(max(turn_idx) AS INTEGER) AS end_turn_idx
+        |FROM f GROUP BY 1, 2 ORDER BY conv_id, fuse_id""".stripMargin),
+
+    "q_tool_episodes" -> Oracle.withTurnsCtes(
+      """calls AS (
+        |  SELECT conv_id, turn_idx, tool, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_us
+        |  FROM turns WHERE tool IS NOT NULL
+        |), ep AS (
+        |  SELECT conv_id, turn_idx, tool,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 604800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)
+        |      - 1 AS INTEGER) AS episode_id
+        |  FROM calls
+        |)
+        |SELECT conv_id, episode_id, string_agg(tool, '+' ORDER BY turn_idx) AS name,
+        |       CAST(count(*) AS BIGINT) AS n_calls,
+        |       CAST(min(turn_idx) AS INTEGER) AS start_idx,
+        |       CAST(max(turn_idx) AS INTEGER) AS end_idx
+        |FROM ep GROUP BY 1, 2 ORDER BY conv_id, episode_id""".stripMargin),
 
     "q_tumbling_weeks" -> Oracle.withTurns(
       """SELECT conv_id,

@@ -148,6 +148,29 @@ object TextStatsModule extends FeatureModule {
       .as("len_trim_mean"))
 }
 
+/** Window-mode drop-in for [[TextStatsModule]]: same feature names, but
+  * std/skew/kurt use the power-sum forms (Stats.*Pow) — exact for the
+  * ≤ windowSize integer lengths of one window, and bit-identical across
+  * engines (see Stats scaladoc for the rounding-tie failure this avoids).
+  */
+object TextStatsWindowModule extends FeatureModule {
+  val name = "textstats"
+  private val len = col("text_len").cast("double")
+  override val deps: Seq[String] = Seq("asofstate")
+  override def enrich(turns: DataFrame): DataFrame = TextStatsModule.enrich(turns)
+  override def aggs: Seq[Column] = Seq(
+    round(avg(len), 6).as("len_mean"),
+    round(Stats.stddevSampPow(len), 6).as("len_std"),
+    round(Stats.skewnessSamplePow(len), 6).as("len_skew"),
+    round(Stats.kurtosisSamplePow(len), 6).as("len_kurt"),
+    min(len).cast("long").as("len_min"),
+    max(len).cast("long").as("len_max"),
+    round(avg(when(
+      col("__len_rn") > floor(col("__len_n") * 0.1) &&
+        col("__len_rn") <= col("__len_n") - floor(col("__len_n") * 0.1), len)), 6)
+      .as("len_trim_mean"))
+}
+
 /** Role-run structure — W2 (melody/handler.py:675-689 ascent/descent runs).
   * Same window-column + conditional-agg shape as sessions.
   */

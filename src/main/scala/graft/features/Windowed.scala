@@ -35,6 +35,69 @@ object Windowed {
         count(when(col("role") === "assistant", 1)).as("n_assistant_turns"))
   }
 
+  /** Window mode over the FULL module registry — reference behavior: musiF
+    * re-runs ALL feature modules per window (`_process_score_windows`,
+    * extract.py:416-464), not a hand-picked aggregate set.
+    *
+    * Spark-first shape (one fan-out + one grouped aggregate):
+    *  1. as-of state alignment runs PRE-fan-out on the whole conversation —
+    *     a turn's point-in-time state is a property of the turn, invariant
+    *     across the windows containing it (and computing it per window copy
+    *     would redo the union-window join ×fanout for identical results);
+    *  2. the W8 fan-out explodes each turn into the ≤⌈ws/hop⌉ windows
+    *     containing it;
+    *  3. each (conv, window) slice becomes a composite-key "conversation"
+    *     (`conv_id#window_id`), so every module's enrich windows and aggs —
+    *     written against `conv_id` — run per window UNCHANGED: lag deltas
+    *     restart at window starts, sessions/runs/trim ranks are computed
+    *     within the window, exactly like the reference's per-window re-run;
+    *  4. ONE shared HashAggregate over the composite key, then the key is
+    *     split back into (conv_id, window_id).
+    */
+  def featureMatrixWindowedFull(turns: DataFrame, state: Option[DataFrame],
+                                windowSize: Int = 8, overlap: Int = 2,
+                                modules: Seq[FeatureModule] =
+                                  FeatureRegistry.all.map {
+                                    // power-sum moment forms for small windows
+                                    case TextStatsModule => TextStatsWindowModule
+                                    case m               => m
+                                  }): DataFrame = {
+    val ordered = FeatureRegistry.toposort(modules)
+    val slim =
+      if (turns.columns.contains("text"))
+        turns.withColumn("text_len", length(col("text"))).drop("text")
+      else turns
+    // stage 1: per-turn as-of alignment (stateful modules), before fan-out
+    val aligned = ordered.foldLeft(slim) { (df, m) =>
+      m match {
+        case s: StatefulModule => s.enrichWith(df, state)
+        case _                 => df
+      }
+    }
+    // stage 2+3: fan-out, then composite per-window conversation key
+    val fanned = WindowFanout.byTurnIdx(aligned, windowSize, overlap)
+      .withColumn("__conv", col("conv_id"))
+      .withColumn("conv_id",
+        concat(col("conv_id"), lit("#"), col("window_id").cast("string")))
+    val enriched = ordered.foldLeft(fanned) { (df, m) =>
+      m match {
+        case _: StatefulModule => df // already applied pre-fan-out
+        case _                 => m.enrich(df)
+      }
+    }
+    // stage 4: the single shared aggregate — every module's aggs fused
+    val aggExprs = ordered.flatMap(_.aggs)
+    val main = enriched.groupBy(col("conv_id"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val extraFrames = ordered.flatMap(_.frames(enriched))
+    val joined = extraFrames.foldLeft(main)((acc, f) => acc.join(f, Seq("conv_id"), "left"))
+    val split = joined
+      .withColumn("window_id", substring_index(col("conv_id"), "#", -1).cast("int"))
+      .withColumn("conv_id", substring_index(col("conv_id"), "#", 1))
+    split.select((Seq("conv_id", "window_id") ++
+      split.columns.filterNot(c => c == "conv_id" || c == "window_id")).map(col): _*)
+  }
+
   /** Motion features — musiF W3 (`_motion_features_single_window_step`,
     * melody/handler.py:615-698): resample the per-turn value stream at a
     * fixed step along an accumulated-duration axis (np.repeat analog via

@@ -156,6 +156,44 @@ object RunLength {
         max(col("run_len")).as("run_len_max"))
 }
 
+/** Tie-merge / group-fuse (SURVEY.md W7; musiF tied-note fusion,
+  * musif/extract/features/density/handler.py:175-197: a tied note's
+  * duration folds into the note that starts the tie). Generic form: a
+  * start-flag column marks fuse-group starts; cumulative-sum of the flag
+  * is the group id; one grouped aggregate emits the fused rows — value
+  * from the group's first row, durations summed. The groupBy key extends
+  * the (key) partitioning the flag's window already established, so the
+  * aggregate is partial-combine local.
+  */
+object TieMerge {
+  /** Adds `fuse_id` (0-based per key): rows between consecutive true
+    * `startFlag`s share an id. The flag must be true on each group's first
+    * row (lag-based flags are null-safe via `when`).
+    */
+  def fuseIds(df: DataFrame, startFlag: Column,
+              key: String = "conv_id", ord: String = "turn_idx"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("fuse_id",
+      (sum(when(startFlag, 1).otherwise(0)).over(w) - 1).cast("int"))
+  }
+
+  /** Fused rows: one per (key, fuse_id) with the group-start value of
+    * `valueCol` (deterministic: min_by on `ord`), the summed `durCol`,
+    * the fused-row count and the ord span.
+    */
+  def fuse(df: DataFrame, startFlag: Column, valueCol: String, durCol: String,
+           key: String = "conv_id", ord: String = "turn_idx"): DataFrame =
+    fuseIds(df, startFlag, key, ord)
+      .groupBy(col(key), col("fuse_id"))
+      .agg(
+        min_by(col(valueCol), col(ord)).as(valueCol),
+        sum(col(durCol)).as(durCol),
+        count(lit(1)).as("n_fused"),
+        min(col(ord)).as(s"start_$ord"),
+        max(col(ord)).as(s"end_$ord"))
+}
+
 /** Overlapping sliding windows over `turn_idx` (SURVEY.md W8; musiF
   * measure windows `_process_score_windows` extract.py:416-464 with
   * hop = window_size - overlap, n_windows = (N - overlap) / hop,

@@ -128,6 +128,44 @@ class OpsVariantsSpec extends SparkSpec {
     assert(brute.size >= 6, s"planted pairs missing: ${brute.size}")
   }
 
+  test("tie-merge fuses consecutive flagged rows: first value, summed duration") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val t = Seq(
+      ("a", 0, "user", 10L), ("a", 1, "user", 5L), // fuse
+      ("a", 2, "assistant", 7L),
+      ("a", 3, "user", 2L), ("a", 4, "user", 1L), ("a", 5, "user", 4L) // fuse x3
+    ).toDF("conv_id", "turn_idx", "role", "dur")
+      .withColumn("__start",
+        lag(col("role"), 1).over(w).isNull || lag(col("role"), 1).over(w) =!= col("role"))
+    val got = TieMerge.fuse(t, col("__start"), "role", "dur")
+      .orderBy("fuse_id")
+      .select("fuse_id", "role", "dur", "n_fused")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq((0, "user", 15L, 2L), (1, "assistant", 7L, 1L), (2, "user", 7L, 3L)))
+  }
+
+  test("stateful scan (tool episodes): silence reset + order invariance under repartitioning") {
+    def mkTs(min: Int) = ts(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val t = Seq(
+      ("a", 0, Some("t1"), mkTs(0)),
+      ("a", 1, None, mkTs(5)),          // non-call: no state
+      ("a", 2, Some("t2"), mkTs(10)),   // 10min since last call → same episode
+      ("a", 3, Some("t3"), mkTs(200)),  // >2h silence → new episode
+      ("b", 0, Some("t9"), mkTs(0))
+    ).toDF("conv_id", "turn_idx", "tool", "ts")
+    val expect = Set(
+      ("a", 0, "t1+t2", 2L, 0, 2),
+      ("a", 1, "t3", 1L, 3, 3),
+      ("b", 0, "t9", 1L, 0, 0))
+    Seq(t.repartition(1), t.repartition(7, col("turn_idx"))).foreach { in =>
+      val got = StatefulScan.toolEpisodes(in, resetSeconds = 7200)
+        .collect().map(e => (e.conv_id, e.episode_id, e.name, e.n_calls, e.start_idx, e.end_idx))
+        .toSet
+      assert(got == expect)
+    }
+  }
+
   test("salted aggregation equals direct groupBy on skewed data") {
     val turns = graft.datagen.TranscriptGen.turns(spark, 30, skewEvery = 29)
       .withColumn("text_len", length(col("text")).cast("long"))
