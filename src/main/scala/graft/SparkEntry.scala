@@ -557,6 +557,17 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // ——— G1/A3 open-set histogram as MapType, compared on exploded
+    //     sorted pairs (SURVEY §7.4#5 protocol); the wide-column export
+    //     path (PostProcess.explodeMapToColumns) is spec-verified ———
+    "q_histogram_map" -> ((s, dir) => {
+      val t = Tables.turns(s, dir)
+        .withColumn("tool_key", coalesce(col("tool"), lit("none")))
+      OpenHistogram.histMap(t, Seq("conv_id"), "tool_key")
+        .select(col("conv_id"), explode(col("hist")).as(Seq("tool_key", "n")))
+        .orderBy("conv_id", "tool_key")
+    }),
+
     // ——— W7 tie-merge: fuse consecutive same-role turns (utterances) ———
     "q_tie_merge" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -1218,6 +1229,11 @@ object SparkEntry {
         |    AS len_weighted_mean,
         |  round(avg(dlen), 6) AS len_gradient_mean
         |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_histogram_map" -> Oracle.withTurns(
+      """SELECT conv_id, coalesce(tool, 'none') AS tool_key,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM turns GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_tie_merge" -> Oracle.withTurnsCtes(
       """f AS (

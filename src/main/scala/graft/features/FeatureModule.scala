@@ -52,6 +52,40 @@ object FeatureRegistry {
     AsOfStateModule, CensusModule, LagModule, SessionModule, DensityModule,
     TextStatsModule, RunLengthModule)
 
+  /** Config-driven module selection (musiF: YAML `features:` list picks
+    * modules, config.py): empty `names` = all; otherwise the named modules
+    * PLUS their transitive deps (musiF hard-errors on a missing dep; we
+    * resolve it — the dep's enrich columns are required, its aggs come
+    * along, same as the reference pulling prerequisite modules). Swaps in
+    * the session-gap override and, for window mode, the power-sum
+    * text-stats variant.
+    */
+  def modulesFor(names: Seq[String],
+                 sessionGapSeconds: Long = graft.SparkEntry.SessionGapSeconds,
+                 windowed: Boolean = false): Seq[FeatureModule] = {
+    val base = all.map {
+      case SessionModule if sessionGapSeconds != graft.SparkEntry.SessionGapSeconds =>
+        new SessionModuleBase(sessionGapSeconds)
+      case TextStatsModule if windowed => TextStatsWindowModule
+      case m => m
+    }
+    if (names.isEmpty) base
+    else {
+      val byName = base.map(m => m.name -> m).toMap
+      val unknown = names.filterNot(byName.contains)
+      require(unknown.isEmpty,
+        s"unknown modules $unknown; available: ${base.map(_.name).sorted}")
+      val want = scala.collection.mutable.Set(names: _*)
+      var grew = true
+      while (grew) {
+        val more = want.flatMap(n => byName(n).deps).diff(want)
+        grew = more.nonEmpty
+        want ++= more
+      }
+      base.filter(m => want.contains(m.name))
+    }
+  }
+
   /** Kahn toposort honoring `deps`; fails fast on unknown/cyclic deps —
     * same error semantics as musiF's order validation.
     */

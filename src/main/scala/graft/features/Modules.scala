@@ -76,7 +76,7 @@ object LagModule extends FeatureModule {
   * materialize as a window count per (conv, session); the aggregate reads
   * them only on session-start rows.
   */
-object SessionModule extends FeatureModule {
+class SessionModuleBase(gapSeconds: Long) extends FeatureModule {
   val name = "sessions"
   override val deps: Seq[String] = Seq("lag")
   // Session lengths WITHOUT a (conv, session)-partitioned window: that frame
@@ -86,7 +86,7 @@ object SessionModule extends FeatureModule {
   override def enrich(turns: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
-    val sess = Sessionize.byGap(turns, graft.SparkEntry.SessionGapSeconds)
+    val sess = Sessionize.byGap(turns, gapSeconds)
     sess
       .withColumn("__rn", row_number().over(w))
       .withColumn("sess_start",
@@ -105,6 +105,8 @@ object SessionModule extends FeatureModule {
     round(avg(when(col("sess_end"), col("sess_len"))), 6).as("sess_len_mean"),
     max(when(col("sess_end"), col("sess_len"))).as("sess_len_max"))
 }
+
+object SessionModule extends SessionModuleBase(graft.SparkEntry.SessionGapSeconds)
 
 /** Densities — musiF density/handler.py:48-69 (notes per beat → turns per
   * hour, tool calls per turn).

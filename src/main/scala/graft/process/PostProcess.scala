@@ -89,6 +89,26 @@ object PostProcess {
   def saveParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** G1 export explosion: render an open-set `map<key, count>` histogram
+    * column as the reference's wide scalar columns (`prefix.py:64-126`
+    * naming: one `<prefix><Key>` column per OBSERVED key, missing → 0).
+    * The key vocabulary is collected driver-side — bounded by the label
+    * alphabet (intervals/chords/tools), NOT by row count, the same
+    * contract as the reference's dynamic column families. Keys are sorted
+    * for a deterministic column order.
+    */
+  def explodeMapToColumns(df: DataFrame, mapCol: String, prefix: String,
+                          fill: Long = 0L): DataFrame = {
+    def colName(k: String) =
+      prefix + k.split("[^A-Za-z0-9]+").filter(_.nonEmpty)
+        .map(w => w.head.toUpper + w.tail).mkString
+    val keys = df.select(explode(map_keys(col(mapCol))).as("k"))
+      .distinct().collect().map(_.getString(0)).sortBy(colName)
+    val wide = keys.map(k =>
+      coalesce(element_at(col(mapCol), k), lit(fill)).as(colName(k)))
+    df.select(df.columns.filterNot(_ == mapCol).map(col) ++ wide: _*)
+  }
+
   /** Reference-style scope-prefixed export names
     * (musif/extract/features/prefix.py:4-126): `role_user_n_turns` →
     * `RoleUser_NTurns`-style rendering for users migrating from the

@@ -44,6 +44,28 @@ class PostProcessSpec extends SparkSpec {
     assert(ordered.columns.toSeq == Seq("conv_id", "a_one", "x_two", "y_sparse"))
   }
 
+  test("open-set histogram map -> wide reference columns (G1 export explosion)") {
+    import graft.ops.OpenHistogram
+    val t = Seq(
+      ("a", "Interval P5"), ("a", "Interval P5"), ("a", "Interval m3"),
+      ("b", "Interval m3")
+    ).toDF("conv_id", "label")
+    val m = OpenHistogram.histMap(t, Seq("conv_id"), "label")
+    val wide = PostProcess.explodeMapToColumns(m, "hist", "Hist_")
+    assert(wide.columns.toSeq == Seq("conv_id", "Hist_IntervalM3", "Hist_IntervalP5"))
+    val got = wide.orderBy("conv_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 2L), ("b", 1L, 0L))) // missing key -> 0 fill
+  }
+
+  test("histMapShare: per-key shares sum to 1") {
+    import graft.ops.OpenHistogram
+    val t = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "z")).toDF("conv_id", "label")
+    val m = OpenHistogram.histMapShare(t, Seq("conv_id"), "label")
+      .select(explode(col("hist_share"))).as[(String, Double)].collect().toMap
+    assert(m == Map("x" -> 0.5, "y" -> 0.25, "z" -> 0.25))
+  }
+
   test("renderReferenceNames: role prefix and score prefix") {
     val m = Seq(("c1", 3L, 2.5, 7L)).toDF("conv_id", "role_user_n_turns", "len_mean", "n_turns")
     val r = PostProcess.renderReferenceNames(m)
