@@ -557,6 +557,92 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // ——— A12 mean-of-nonzero: mean inter-turn gap ignoring zero gaps ———
+    "q_mean_nonzero" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      Tables.turns(s, dir)
+        .withColumn("delta_us",
+          LagLead.micros(col("ts")) - LagLead.micros(lag(col("ts"), 1).over(w)))
+        .groupBy("conv_id")
+        .agg(round(avg(when(col("delta_us") =!= 0, col("delta_us") / 1e6)), 6)
+          .as("gap_mean_nonzero_s"))
+        .orderBy("conv_id")
+    }),
+
+    // ——— P6 availability filter: keep conversations where required
+    //     signals exist (musiF skips scores missing required parts) ———
+    "q_availability" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .groupBy("conv_id")
+        .agg(count(lit(1)).as("n_turns"),
+          count(col("tool")).as("__n_tool"),
+          count(when(col("role") === "user", 1)).as("__n_user"))
+        .filter(col("__n_tool") > 0 && col("__n_user") > 0)
+        .select("conv_id", "n_turns")
+        .orderBy("conv_id")),
+
+    // ——— F1/A21 full rule-table classification: broadcast rules table
+    //     (token → label, priority) over exploded tokens — the word-list
+    //     classifier port (musicxml/tempo.py:63-244 shape) ———
+    "q_rule_classify" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        ("join", "relational", 1), ("merge", "relational", 2),
+        ("stream", "streaming", 1), ("window", "streaming", 2),
+        ("scan", "access", 2), ("data", "data", 3), ("the", "common", 9)
+      ).toDF("tok", "label", "prio")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.functions.TextFns.distinctTokens(col("text"))).as("tok"))
+      val matched = toks.join(broadcast(rules), Seq("tok"))
+        .groupBy("doc_id")
+        // composite min (priority, label) encoded as one sortable string —
+        // engine-portable arg-min (DuckDB arg_min takes no struct key)
+        .agg(min(format_string("%03d|%s", col("prio"), col("label"))).as("__k"))
+        .select(col("doc_id"), substring_index(col("__k"), "|", -1).as("label"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), lit("other")).as("label"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— F8 label regex parsing: vendored-regex port shape
+    //     (harmony/utils.py:719-754) over the turn text encoding ———
+    "q_label_parse" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          regexp_extract(col("text"), "^([a-z]+):", 1).as("etype"),
+          regexp_extract(col("text"), "^[a-z]+:(\\d+):", 1).cast("long").as("eid"),
+          regexp_extract(col("text"), "\"k\": (\\d+)", 1).cast("long").as("k_val"))
+        .orderBy("conv_id", "turn_idx")),
+
+    // ——— A4 classified-bucket battery: wide conditional-count columns
+    //     (the 66-output bucket battery shape, scoring/handler.py) ———
+    "q_bucket_battery" -> ((s, dir) => {
+      val len = length(col("text"))
+      val us = LagLead.micros(col("ts"))
+      def bucket(c: org.apache.spark.sql.Column, name: String) =
+        sum(when(c, 1L).otherwise(0L)).as(name)
+      Tables.turns(s, dir)
+        .withColumn("delta_us",
+          us - LagLead.micros(lag(col("ts"), 1).over(
+            Window.partitionBy(col("conv_id")).orderBy(col("turn_idx")))))
+        .groupBy("conv_id")
+        .agg(
+          bucket(len < 50, "n_len_0_49"),
+          bucket(len >= 50 && len < 100, "n_len_50_99"),
+          bucket(len >= 100 && len < 150, "n_len_100_149"),
+          bucket(len >= 150 && len < 200, "n_len_150_199"),
+          bucket(len >= 200, "n_len_200_plus"),
+          bucket(col("delta_us") < 60000000L, "n_gap_under_1m"),
+          bucket(col("delta_us") >= 60000000L && col("delta_us") < 3600000000L, "n_gap_1m_1h"),
+          bucket(col("delta_us") >= 3600000000L && col("delta_us") < 86400000000L, "n_gap_1h_1d"),
+          bucket(col("delta_us") >= 86400000000L, "n_gap_over_1d"),
+          bucket(col("role") === "user" && len >= 100, "n_long_user"),
+          bucket(col("role") === "assistant" && len >= 100, "n_long_assistant"),
+          bucket(col("tool").isNotNull && col("role") === "tool", "n_tool_role_calls"))
+        .orderBy("conv_id")
+    }),
+
     // ——— G1/A3 open-set histogram as MapType, compared on exploded
     //     sorted pairs (SURVEY §7.4#5 protocol); the wide-column export
     //     path (PostProcess.explodeMapToColumns) is spec-verified ———
@@ -1228,6 +1314,67 @@ object SparkEntry {
         |  round(CASE WHEN sum(gap_s) > 0 THEN sum(len * gap_s) / sum(gap_s) END, 6)
         |    AS len_weighted_mean,
         |  round(avg(dlen), 6) AS len_gradient_mean
+        |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_mean_nonzero" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  round(avg(CASE WHEN delta_us <> 0 THEN delta_us / 1e6 END), 6)
+        |    AS gap_mean_nonzero_s
+        |FROM (SELECT conv_id,
+        |        epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+        |          AS delta_us
+        |      FROM turns)
+        |GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    "q_availability" -> Oracle.withTurns(
+      """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+        |FROM turns GROUP BY conv_id
+        |HAVING count(tool) > 0 AND count(CASE WHEN role = 'user' THEN 1 END) > 0
+        |ORDER BY conv_id""".stripMargin),
+
+    "q_rule_classify" -> (
+      """WITH rules(tok, label, prio) AS (VALUES
+        |  ('join', 'relational', 1), ('merge', 'relational', 2),
+        |  ('stream', 'streaming', 1), ('window', 'streaming', 2),
+        |  ('scan', 'access', 2), ('data', 'data', 3), ('the', 'common', 9)),
+        |toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |m AS (
+        |  SELECT t.doc_id, min(printf('%03d|%s', r.prio, r.label)) AS k
+        |  FROM toks t JOIN rules r ON t.tok = r.tok GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN m.k IS NULL THEN 'other'
+        |            ELSE split_part(m.k, '|', 2) END AS label
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q_label_parse" -> Oracle.withTurns(
+      """SELECT conv_id, turn_idx,
+        |  regexp_extract(text, '^([a-z]+):', 1) AS etype,
+        |  CAST(regexp_extract(text, '^[a-z]+:(\d+):', 1) AS BIGINT) AS eid,
+        |  CAST(regexp_extract(text, '"k": (\d+)', 1) AS BIGINT) AS k_val
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_bucket_battery" -> Oracle.withTurnsCtes(
+      """b AS (
+        |  SELECT conv_id, length(text) AS len, role, tool,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+        |      AS delta_us
+        |  FROM turns)
+        |SELECT conv_id,
+        |  CAST(sum(CASE WHEN len < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_0_49,
+        |  CAST(sum(CASE WHEN len >= 50 AND len < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_50_99,
+        |  CAST(sum(CASE WHEN len >= 100 AND len < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_100_149,
+        |  CAST(sum(CASE WHEN len >= 150 AND len < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_150_199,
+        |  CAST(sum(CASE WHEN len >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_200_plus,
+        |  CAST(sum(CASE WHEN delta_us < 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_under_1m,
+        |  CAST(sum(CASE WHEN delta_us >= 60000000 AND delta_us < 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_1m_1h,
+        |  CAST(sum(CASE WHEN delta_us >= 3600000000 AND delta_us < 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_1h_1d,
+        |  CAST(sum(CASE WHEN delta_us >= 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_over_1d,
+        |  CAST(sum(CASE WHEN role = 'user' AND len >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_user,
+        |  CAST(sum(CASE WHEN role = 'assistant' AND len >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_assistant,
+        |  CAST(sum(CASE WHEN tool IS NOT NULL AND role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_role_calls
         |FROM b GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_histogram_map" -> Oracle.withTurns(
