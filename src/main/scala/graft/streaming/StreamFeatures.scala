@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the engine's windowed operators
   * (SURVEY.md §2.10). The reference is pure batch; these are the streaming
@@ -31,6 +32,68 @@ object StreamFeatures {
       .select(col("conv_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"),
         col("n_turns"), col("n_tool_calls"), col("len_mean"))
+
+  case class AsOfEvent(conv_id: String, ts_us: Long, is_state: Boolean,
+                       turn_idx: Option[Int], state_val: Option[String])
+  case class AsOfOut(conv_id: String, turn_idx: Int, state_val: Option[String])
+  case class AsOfCarry(ts_us: Long, state_val: Option[String])
+
+  /** Streaming as-of (J1 on a stream): one merged event stream of turns and
+    * state changes, keyed by conv_id; `flatMapGroupsWithState` carries the
+    * latest-seen state across micro-batches and annotates each turn with
+    * the state at-or-before its timestamp — the streaming form of
+    * [[graft.ops.AsOf]] AtOrBefore (state wins a timestamp tie), sharing
+    * its tie rule and Long.MinValue "no state yet" semantics.
+    *
+    * Ordering contract: events are sorted (ts, state-first) WITHIN each
+    * micro-batch group, and state only advances forward, so the output
+    * equals batch AsOf.join whenever each key's events arrive in order
+    * across batches (transcript streams are per-conversation ordered at
+    * the source). A state event older than the carried state is ignored,
+    * never applied retroactively — late data beyond that needs the batch
+    * path, the standard streaming-asof tradeoff.
+    *
+    * Memory: per-key state is ONE (ts, value) pair; the per-batch sort is
+    * bounded by a key's events within one micro-batch.
+    */
+  def asOfState(events: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[AsOfEvent], gs: GroupState[AsOfCarry]) =>
+          var carry = gs.getOption.getOrElse(AsOfCarry(Long.MinValue, None))
+          val out = Vector.newBuilder[AsOfOut]
+          it.toVector
+            .sortBy(e => (e.ts_us, if (e.is_state) 0 else 1))
+            .foreach { e =>
+              if (e.is_state) {
+                if (e.ts_us >= carry.ts_us) carry = AsOfCarry(e.ts_us, e.state_val)
+              } else out += AsOfOut(key, e.turn_idx.get,
+                if (carry.ts_us == Long.MinValue) None else carry.state_val)
+            }
+          gs.update(carry)
+          out.result().iterator
+      }
+  }
+
+  /** Column-level adapter: merge turns/state streams of the canonical
+    * schemas into the AsOfEvent stream `asOfState` consumes.
+    */
+  def mergeForAsOf(turns: DataFrame, state: DataFrame): Dataset[AsOfEvent] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val t = turns.select(col("conv_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      lit(false).as("is_state"),
+      col("turn_idx").cast("int").as("turn_idx"),
+      lit(null).cast("string").as("state_val"))
+    val s = state.select(col("conv_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      lit(true).as("is_state"),
+      lit(null).cast("int").as("turn_idx"),
+      col("state_val"))
+    t.unionByName(s).as[AsOfEvent]
+  }
 
   /** Sliding event-time windows (the streaming form of W8): turn counts per
     * role per 1h window sliding 15min.

@@ -80,6 +80,46 @@ class InfraSpec extends SparkSpec {
     assert(rows == Seq(("a", 2L), ("a", 1L)))
   }
 
+  test("streaming as-of: state carries across micro-batches, ties state-first") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Boolean, Option[Int], Option[String])]
+    val events = mem.toDF()
+      .toDF("conv_id", "ts_us", "is_state", "turn_idx", "state_val")
+      .as[StreamFeatures.AsOfEvent]
+    val q = StreamFeatures.asOfState(events)
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    // batch 1: state s0@10, turn@10 (tie → sees s0), turn@5 (before any state)
+    mem.addData(
+      ("a", 5L, false, Some(0), None),
+      ("a", 10L, true, None, Some("s0")),
+      ("a", 10L, false, Some(1), None))
+    q.processAllAvailable()
+    // batch 2: a turn in a LATER micro-batch still sees batch-1 state
+    mem.addData(
+      ("a", 20L, false, Some(2), None),
+      ("a", 30L, true, None, Some("s1")),
+      ("a", 40L, false, Some(3), None))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT turn_idx, state_val FROM asof_out ORDER BY turn_idx")
+      .as[(Int, Option[String])].collect().toSeq
+    q.stop()
+    assert(got == Seq(
+      (0, None), (1, Some("s0")),          // batch 1: no-state-yet, same-ts tie
+      (2, Some("s0")), (3, Some("s1"))))   // batch 2: carried + updated state
+
+    // batch-equivalence on the same data
+    val turns = Seq(("a", 0, 5L), ("a", 1, 10L), ("a", 2, 20L), ("a", 3, 40L))
+      .toDF("conv_id", "turn_idx", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val state = Seq(("a", 10L, "s0"), ("a", 30L, "s1"))
+      .toDF("conv_id", "us", "state_val")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val batch = graft.ops.AsOf.join(turns, state, "conv_id", "ts", Seq("state_val"))
+      .orderBy("turn_idx").select("turn_idx", "state_val")
+      .as[(Int, Option[String])].collect().toSeq
+    assert(batch == got)
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic sigs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.fromDocuments(docs)
