@@ -112,7 +112,7 @@ object Bench {
       : (Long, Double, Double, Double, Int, Int) = {
     val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val minClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_CLEAN", "5").toInt
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "8").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "10").toInt
     val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "192").toInt
 
     def timedRun(cores: Int, warm: Boolean): Double = {

@@ -48,6 +48,13 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "session_id")
         .orderBy("conv_id", "turn_idx")),
 
+    // ——— W9 blocked variant: boundary-carry ordered scan (skew path for
+    //     giant conversations; row-identical to the single-window form) ———
+    "q_sessionize_blocked" -> ((s, dir) =>
+      BlockedScan.sessionizeByGap(Tables.turns(s, dir), SessionGapSeconds, blockRows = 16)
+        .select("conv_id", "turn_idx", "session_id")
+        .orderBy("conv_id", "turn_idx")),
+
     // ——— A19-style per-conversation session stats ———
     "q_session_stats" -> ((s, dir) =>
       Sessionize.byGap(Tables.turns(s, dir), SessionGapSeconds)
@@ -707,6 +714,17 @@ object SparkEntry {
         |  lag(length(text)) OVER w AS prev_text_len
         |FROM turns
         |WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        |ORDER BY conv_id, turn_idx""".stripMargin),
+
+    // identical semantics to q_sessionize — the blocked scan must be
+    // row-identical to the single-window form
+    "q_sessionize_blocked" -> Oracle.withTurns(
+      s"""SELECT conv_id, turn_idx,
+        |  CAST(sum(CASE WHEN gap_us > ${SessionGapSeconds}000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |FROM (SELECT conv_id, turn_idx,
+        |        epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap_us
+        |      FROM turns)
         |ORDER BY conv_id, turn_idx""".stripMargin),
 
     "q_sessionize" -> Oracle.withTurns(

@@ -56,16 +56,29 @@ object TextFns {
 
   /** Per-(doc, seed) MinHash values over distinct tokens.
     * Input: (idCol, textCol); output: (idCol, seed:int, minhash:long).
-    * k seeds → k rows per doc; signature = collect per doc. Scale path:
-    * band the signature (seed / bandSize) and group on (band, hash of
-    * band-slice) to get candidate near-dup pairs without the quadratic join.
+    *
+    * ONE aggregation pass: the k seed-hashes are k `min` aggregates over
+    * the exploded tokens (same single-pass shape as [[simhash]]'s 60
+    * conditional sums), exploded back to (seed, minhash) rows only at DOC
+    * level. The naive form — crossJoin the token rows with a k-row seed
+    * table, then groupBy (doc, seed) — shuffles k× the token rows; this
+    * shuffles them once (map-side partials) and fans out k× only after
+    * aggregation (k·|docs| rows, not k·|tokens|).
+    *
+    * Scale path for near-dups: band the signature (seed / bandSize) and
+    * group on (band, hash of band-slice) to get candidate pairs without
+    * the quadratic join (see q_neardup_lsh).
     */
   def minhashRows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = df.select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
-    val seeds = df.sparkSession.range(k).select(col("id").cast("int").as("seed"))
-    toks.crossJoin(broadcast(seeds))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5Long(concat_ws("|", col("seed").cast("string"), col("tok")))).as("minhash"))
+    val mins = (0 until k).map(s =>
+      min(md5Long(concat_ws("|", lit(s).cast("string"), col("tok")))).as(s"__m$s"))
+    val pairs = (0 until k).map(s =>
+      struct(lit(s).as("seed"), col(s"__m$s").as("minhash")))
+    toks.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), explode(array(pairs: _*)).as("__sm"))
+      .select(col(idCol), col("__sm.seed").as("seed"), col("__sm.minhash").as("minhash"))
   }
 
   /** 60-bit SimHash per doc: majority vote of token-hash bits (+1/-1 per

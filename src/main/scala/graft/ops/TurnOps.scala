@@ -83,6 +83,69 @@ object Sessionize {
   }
 }
 
+/** Blocked ordered scan with boundary carry (SURVEY.md §7.4#2) — the skew
+  * answer for ORDERED operators, which salting can't help (a window over
+  * one giant conv_id serializes on one task). The conversation is cut into
+  * `blockRows`-sized blocks by turn_idx; each block computes its scan
+  * locally in parallel, and the per-block boundary state (last ts, flag
+  * count) — a tiny frame, |blocks| rows — is carried across blocks with a
+  * cheap window + broadcast join back. Exactly the streaming "carry state
+  * between micro-batches" trick applied spatially.
+  *
+  * Result is row-identical to the single-window form (property-tested);
+  * use when a key's row count exceeds what one task should sort (~10⁷).
+  */
+object BlockedScan {
+
+  /** Sessionize-by-gap (≡ [[Sessionize.byGap]]) with per-key parallelism
+    * `⌈rows/blockRows⌉`. Cost: one extra groupBy + two broadcast-sized
+    * frames vs the single-window form; each heavy window now sorts only
+    * (key, block) slices.
+    */
+  def sessionizeByGap(turns: DataFrame, gapSeconds: Long, blockRows: Int,
+                      key: String = "conv_id", ts: String = "ts",
+                      ord: String = "turn_idx"): DataFrame = {
+    require(blockRows > 0)
+    val gapUs = gapSeconds * 1000000L
+    val k = col(key)
+    val blocked = turns.withColumn("__blk", (col(ord).cast("long") / blockRows).cast("int"))
+    val wBlk = Window.partitionBy(k, col("__blk")).orderBy(col(ord))
+
+    // per-block boundary frame: |blocks| rows — tiny relative to the data
+    val bounds = blocked.groupBy(k, col("__blk"))
+      .agg(max_by(col(ts), col(ord)).as("__last_ts"))
+    val wByBlk = Window.partitionBy(k).orderBy(col("__blk"))
+    val carry = bounds
+      .withColumn("__prev_last_ts", lag(col("__last_ts"), 1).over(wByBlk))
+      .select(k, col("__blk"), col("__prev_last_ts"))
+
+    // local scan: the gap of a block's FIRST row reaches back to the
+    // previous block's last ts via the carried boundary
+    val withFlags = blocked
+      .join(broadcast(carry), Seq(key, "__blk"))
+      .withColumn("__prev_ts",
+        coalesce(lag(col(ts), 1).over(wBlk), col("__prev_last_ts")))
+      .withColumn("__flag",
+        when(LagLead.micros(col(ts)) - LagLead.micros(col("__prev_ts")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("__local",
+        sum(col("__flag")).over(wBlk.rowsBetween(Window.unboundedPreceding, 0)))
+
+    // cross-block offset: cumulative flag count of all PRIOR blocks
+    val offsets = withFlags.groupBy(k, col("__blk"))
+      .agg(sum(col("__flag")).as("__nflags"))
+      .withColumn("__offset",
+        coalesce(sum(col("__nflags")).over(
+          wByBlk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(k, col("__blk"), col("__offset"))
+
+    withFlags
+      .join(broadcast(offsets), Seq(key, "__blk"))
+      .withColumn("session_id", (col("__local") + col("__offset")).cast("int"))
+      .drop("__blk", "__prev_last_ts", "__prev_ts", "__flag", "__local", "__offset")
+  }
+}
+
 /** Forward-fill / last-observation-carried-forward (SURVEY.md W5; musiF
   * time-signature carry and tonality-map gap fill,
   * musif/extract/features/tempo/handler.py:120-136,

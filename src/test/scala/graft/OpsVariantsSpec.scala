@@ -166,6 +166,19 @@ class OpsVariantsSpec extends SparkSpec {
     }
   }
 
+  test("blocked boundary-carry sessionize equals single-window form on skewed data") {
+    val turns = graft.datagen.TranscriptGen.turns(spark, 30, skewEvery = 29)
+    val direct = Sessionize.byGap(turns, 3600)
+      .select("conv_id", "turn_idx", "session_id")
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    Seq(7, 64, 100000).foreach { blockRows =>
+      val blocked = BlockedScan.sessionizeByGap(turns, 3600, blockRows)
+        .select("conv_id", "turn_idx", "session_id")
+        .orderBy("conv_id", "turn_idx").collect().toSeq
+      assert(blocked == direct, s"blockRows=$blockRows diverged")
+    }
+  }
+
   test("salted aggregation equals direct groupBy on skewed data") {
     val turns = graft.datagen.TranscriptGen.turns(spark, 30, skewEvery = 29)
       .withColumn("text_len", length(col("text")).cast("long"))
