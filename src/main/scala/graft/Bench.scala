@@ -118,6 +118,9 @@ object Bench {
     def timedRun(cores: Int, warm: Boolean): Double = {
       val s = session(cores, parts, forScaling = true)
       if (warm) flagshipRun(s, corpusDir) // JIT/codegen warm (first pair only)
+      // sessions share one JVM: collect the previous run's garbage OUTSIDE
+      // the timed section so GC debt doesn't land on a random side
+      System.gc()
       val sec = flagshipRun(s, corpusDir)
       s.stop()
       sec
@@ -170,7 +173,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
-    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "96000").toLong
+    // 160k convs ≈ 7.6M turns: sized so the low side runs ≥ 100s — the
+    // per-run serial component (planning, sample job, stage scheduling,
+    // ~5-10s) must be small against W/2 for the N→4N ratio to reflect
+    // parallel work, not fixed overhead
+    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "160000").toLong
 
     // — 1. per-query timings: interleaved rounds, per-query median —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"

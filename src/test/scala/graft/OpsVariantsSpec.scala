@@ -179,6 +179,27 @@ class OpsVariantsSpec extends SparkSpec {
     }
   }
 
+  test("native codegen dot product == HOF reference form (values + null semantics)") {
+    import graft.functions.VectorFns._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = e.select(
+        dot(col("embedding"), col("embedding")).as("native"),
+        dotHof(col("embedding"), col("embedding")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-identical
+    // null semantics: length mismatch -> null; null element -> null
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val got = edge.select(dot(col("a"), col("b"))).as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(11.0)))
+    val withNullElem = spark.sql(
+      "SELECT cast(array(1.0, NULL) AS array<float>) a, cast(array(2.0, 3.0) AS array<float>) b")
+    assert(withNullElem.select(dot(col("a"), col("b"))).as[Option[Double]].head().isEmpty)
+  }
+
   test("salted aggregation equals direct groupBy on skewed data") {
     val turns = graft.datagen.TranscriptGen.turns(spark, 30, skewEvery = 29)
       .withColumn("text_len", length(col("text")).cast("long"))
