@@ -325,19 +325,26 @@ object SparkEntry {
       import graft.functions.TextFns._
       val docs = Tables.documents(s, dir)
       val mh = minhashRows(docs, "doc_id", "text", 8)
+      // doc→source attach: NO broadcast hint — the map is |docs|-sized
+      // (too big to broadcast at corpus scale); Catalyst/AQE picks
+      // broadcast at fixture size and shuffle-hash at scale
       val bands = mh.withColumn("band", (col("seed") / 4).cast("int"))
         .groupBy("doc_id", "band")
         .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
           x => x.getField("minhash").cast("string")), ",").as("bkey"))
-        .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      // exact verify: broadcast the CANDIDATE PAIRS (near-dup count —
+      // small by construction) into two joins against the big token-set
+      // table; round-1 broadcast the corpus-wide token sets instead,
+      // which cannot exist at 100 TB
       val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
-      cand
-        .join(broadcast(sets.select(col("doc_id").as("da"), col("s").as("sa"))), Seq("da"))
-        .join(broadcast(sets.select(col("doc_id").as("db"), col("s").as("sb"))), Seq("db"))
+      sets.join(broadcast(cand), col("doc_id") === col("da"))
+        .select(col("da"), col("db"), col("s").as("sa"))
+        .join(sets.select(col("doc_id").as("db"), col("s").as("sb")), Seq("db"))
         .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jaccard", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
         .filter(col("jaccard") >= 0.9)
@@ -374,8 +381,10 @@ object SparkEntry {
     // cost is Σ bucket² over ~2^9-value buckets, not Σ source².
     "q_simhash_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // no broadcast hint: the doc→source map is |docs|-sized (see
+      // q_neardup_lsh note); the optimizer picks by stats
       val sh = graft.functions.TextFns.simhash(docs, "doc_id", "text")
-        .join(broadcast(docs.select(col("doc_id"), col("source"))), Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       val banded = graft.functions.TextFns.hashBands(sh, "simhash", 60, 7)
       val cand = banded.as("a").join(banded.as("b"),
           col("a.source") === col("b.source") &&
