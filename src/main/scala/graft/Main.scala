@@ -51,7 +51,11 @@ object Main {
       df = PostProcess.deleteColumns(df, prefixes = pre(0), suffixes = pre(1), contains = pre(2))
     cfg.dbl("post.col_null_max").foreach(t => df = PostProcess.dropSparseColumns(df, t))
     cfg.dbl("post.row_null_max").foreach(t => df = PostProcess.dropSparseRows(df, t))
-    cfg.dbl("post.fill_value").foreach(v => df = PostProcess.fillByPredicate(df, v, _ => true))
+    cfg.dbl("post.fill_value").foreach { v =>
+      val pre = cfg.list("post.fill_prefixes")
+      df = PostProcess.fillByPredicate(df, v,
+        c => pre.isEmpty || pre.exists(c.startsWith))
+    }
     if (cfg.bool("post.order_columns", true)) df = PostProcess.orderColumns(df)
     if (cfg.bool("post.reference_names", false)) df = PostProcess.renderReferenceNames(df)
     df

@@ -670,6 +670,16 @@ object SparkEntry {
         .orderBy("conv_id", "tool_key")
     }),
 
+    // ——— A20/G1: normalized open-set histogram (share map), compared on
+    //     exploded pairs ———
+    "q_histogram_map_share" -> ((s, dir) => {
+      val t = Tables.turns(s, dir)
+        .withColumn("role_key", col("role"))
+      OpenHistogram.histMapShare(t, Seq("conv_id"), "role_key")
+        .select(col("conv_id"), explode(col("hist_share")).as(Seq("role_key", "share")))
+        .orderBy("conv_id", "role_key")
+    }),
+
     // ——— W7 tie-merge: fuse consecutive same-role turns (utterances) ———
     "q_tie_merge" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -1408,6 +1418,12 @@ object SparkEntry {
       """SELECT conv_id, coalesce(tool, 'none') AS tool_key,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM turns GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_histogram_map_share" -> Oracle.withTurnsCtes(
+      """c AS (SELECT conv_id, role AS role_key, count(*) AS n FROM turns GROUP BY 1, 2)
+        |SELECT conv_id, role_key,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY conv_id), 6) AS share
+        |FROM c ORDER BY conv_id, role_key""".stripMargin),
 
     "q_tie_merge" -> Oracle.withTurnsCtes(
       """f AS (

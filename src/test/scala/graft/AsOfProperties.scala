@@ -65,6 +65,21 @@ object AsOfProperties extends Properties("asof") {
       a == b
     }
 
+  property("blocked boundary-carry sessionize ≡ single-window sessionize, any block size") =
+    Prop.forAll(
+      Gen.listOfN(20, Gen.choose(1L, 200L)),
+      Gen.choose(1, 25)) { (gaps, blockRows) =>
+      import spark.implicits._
+      val tss = gaps.scanLeft(0L)(_ + _)
+      val turns = tss.zipWithIndex.map { case (t, i) => ("c", i, ts(t)) }
+        .toDF("conv_id", "turn_idx", "ts")
+      val direct = Sessionize.byGap(turns, 100)
+        .orderBy("turn_idx").select("session_id").as[Int].collect().toSeq
+      val blocked = graft.ops.BlockedScan.sessionizeByGap(turns, 100, blockRows)
+        .orderBy("turn_idx").select("session_id").as[Int].collect().toSeq
+      direct == blocked
+    }
+
   property("sessionize: new session iff gap > threshold") =
     Prop.forAll(Gen.listOfN(15, Gen.choose(1L, 200L))) { gaps =>
       import spark.implicits._
