@@ -196,7 +196,12 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    val names = if (doQueries) SparkEntry.queries.keys.toSeq.sorted else Nil
+    // SPARK_GRAFT_QUERY_FILTER: comma-separated substrings — time only
+    // matching queries (targeted regression checks)
+    val filter = sys.env.get("SPARK_GRAFT_QUERY_FILTER")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val names = (if (doQueries) SparkEntry.queries.keys.toSeq.sorted else Nil)
+      .filter(n => filter.isEmpty || filter.exists(n.contains))
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     for (_ <- 1 to (if (doQueries) queryReps else 0); name <- names) {

@@ -333,18 +333,34 @@ object SparkEntry {
         .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
           x => x.getField("minhash").cast("string")), ",").as("bkey"))
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      // candidate pairs via BUCKET GROUPING, not a self-join: a self-join's
+      // two sides each recompute the whole minhash pipeline (exchange
+      // reuse does not fire across the join aliases — measured 2×), while
+      // one more groupBy extends the existing shuffle. Pair fan-out per
+      // bucket is the same Σ|bucket|² the join produced; near-dup bands
+      // keep buckets naturally small (a giant bucket is quadratic under
+      // either formulation)
+      val buckets = bands.groupBy("source", "band", "bkey")
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val cand = buckets
+        .select(explode(col("ds")).as("da"), col("ds"))
+        .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
+        .distinct()
       // exact verify: broadcast the CANDIDATE PAIRS (near-dup count —
-      // small by construction) into two joins against the big token-set
-      // table; round-1 broadcast the corpus-wide token sets instead,
-      // which cannot exist at 100 TB
+      // small by construction) against the big token-set table; round-1
+      // broadcast the corpus-wide token sets instead, which cannot exist
+      // at 100 TB. Both pair sides resolve in ONE documents scan: the
+      // pair list is exploded to (doc_id, pair) and regrouped, instead of
+      // scanning + re-tokenizing the corpus once per side
       val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
-      sets.join(broadcast(cand), col("doc_id") === col("da"))
-        .select(col("da"), col("db"), col("s").as("sa"))
-        .join(sets.select(col("doc_id").as("db"), col("s").as("sb")), Seq("db"))
+      val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
+        .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
+      sets.join(broadcast(wanted), Seq("doc_id"))
+        .groupBy("da", "db")
+        .agg(
+          first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
+          first(when(col("doc_id") === col("db"), col("s")), ignoreNulls = true).as("sb"))
         .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jaccard", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
         .filter(col("jaccard") >= 0.9)
@@ -386,13 +402,17 @@ object SparkEntry {
       val sh = graft.functions.TextFns.simhash(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       val banded = graft.functions.TextFns.hashBands(sh, "simhash", 60, 7)
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("a.simhash").as("ha"),
-          col("b.doc_id").as("db"), col("b.simhash").as("hb"))
+      // bucket grouping instead of a self-join — one pipeline, one extra
+      // groupBy (see q_neardup_lsh note)
+      val buckets = banded.groupBy("source", "band_idx", "band_val")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val cand = buckets
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(
+          filter(col("ds"), x => x.getField("doc_id") > col("a").getField("doc_id"))).as("b"))
+        .select(col("a").getField("doc_id").as("da"), col("a").getField("simhash").as("ha"),
+          col("b").getField("doc_id").as("db"), col("b").getField("simhash").as("hb"))
         .distinct()
       cand
         .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
