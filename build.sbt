@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output must reach stdout RAW: sbt's default logged
+// strategy prefixes every line with `[info] `, which breaks the driver's
+// one-JSON-line-on-stdout bench/verify contract (r1+r2 bench artifacts
+// landed `parsed: null` with the JSON visible but prefixed in the tail).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
-/** Benchmark main (driver contract: ONE JSON line on stdout).
+/** Benchmark main (driver contract: one JSON line on stdout — printed
+  * IMMEDIATELY after the per-query phase so finished measurements are never
+  * held hostage to the scaling phase; a second, superset JSON line follows
+  * once scaling evidence lands, so the last parseable line is the complete
+  * artifact).
   *
   * Two measurements:
   *  1. per-query wall times over SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS —
@@ -12,10 +16,14 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     burst cannot poison a query's headline number (round-1 lesson:
   *     single-shot timings showed 26-37s for single-Window plans);
   *  2. the scaling gate (BASELINE.md / BENCH.md): the flagship job over the
-  *     SAME input files at local[N] and local[4N] (default N=2), run as
-  *     back-to-back pairs with outlier rejection — see [[scalingEvidence]].
-  *     Appends a row into BENCH.md's table (at the `<!-- bench-rows -->`
-  *     marker). Skipped when SPARK_GRAFT_SCALING=0.
+  *     SAME input files at BOTH protocol pairs — local[1]→local[4] (the
+  *     bandwidth-uncontended N→4N-node proxy) AND local[8]→local[32]
+  *     (BASELINE.md's literal sandbox pair) — run as back-to-back pairs
+  *     with outlier rejection, bounded by a wall-clock budget
+  *     (`SPARK_GRAFT_SCALE_BUDGET_SEC`, default 900s across both pairs)
+  *     that stops cleanly and reports clean-pairs-so-far. Appends rows into
+  *     BENCH.md's table (at the `<!-- bench-rows -->` marker). Skipped when
+  *     SPARK_GRAFT_SCALING=0.
   */
 object Bench {
 
@@ -76,6 +84,13 @@ object Bench {
     def eff: Double = tLow / tHigh / 4.0
   }
 
+  final case class ScaleResult(nLow: Int, turns: Long, tpsLow: Double,
+                               tpsHigh: Double, eff: Double,
+                               clean: Int, rejected: Int) {
+    def json: String =
+      f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected}"""
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) Double.NaN
@@ -104,21 +119,17 @@ object Bench {
     * identical job + identical input files at local[N] vs local[4N],
     * back-to-back pairs (both sides of a pair see the same ambient load),
     * shuffle partitioning and scan splits pinned identical on both sides,
-    * pairs run until ≥ `minClean` survive outlier rejection (or
-    * `maxPairs` attempts), efficiency = median over clean pairs.
+    * pairs run until ≥ `minClean` survive outlier rejection, `maxPairs`
+    * attempts, or the wall-clock `deadlineNs` passes (then: stop cleanly,
+    * report clean-pairs-so-far). Returns None when every pair was rejected
+    * (never formats NaN into the JSON line).
     */
-  private def scalingEvidence(corpusDir: String, nTurns: Long,
+  private def scalingEvidence(corpusDir: String, nTurns: Long, nLow: Int,
+                              deadlineNs: Long,
                               repLog: scala.collection.mutable.ArrayBuffer[String])
-      : (Long, Double, Double, Double, Int, Int) = {
-    // N=1 default: the box has one socket, so thread count doubles do NOT
-    // double memory bandwidth the way adding nodes does — measured curve on
-    // the identical job/input: 1→4 ≈ 0.90, 2→8 ≈ 0.75, 8→32 ≈ 0.5-0.6
-    // (sort-heavy window stack hits the bandwidth ceiling). 1→4 of 32
-    // cores is the bandwidth-uncontended regime, isolating the ENGINE's
-    // parallelization efficiency — the thing the N→4N-node rule tests.
-    val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-    val minClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_CLEAN", "5").toInt
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "10").toInt
+      : Option[ScaleResult] = {
+    val minClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_CLEAN", "3").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "6").toInt
     val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "192").toInt
 
     def timedRun(cores: Int, warm: Boolean): Double = {
@@ -134,7 +145,11 @@ object Bench {
 
     val pairs = scala.collection.mutable.ArrayBuffer[ScalePair]()
     var r = 0
-    while (r < maxPairs && (r < minClean || cleanPairs(pairs.toSeq).size < minClean)) {
+    var outOfTime = System.nanoTime() >= deadlineNs
+    if (outOfTime)
+      repLog += s"local[$nLow]→local[${nLow * 4}]: skipped (wall budget exhausted)"
+    while (!outOfTime && r < maxPairs &&
+           (r < minClean || cleanPairs(pairs.toSeq).size < minClean)) {
       r += 1
       val tLow = timedRun(nLow, warm = r == 1)
       val tHigh = timedRun(nLow * 4, warm = r == 1)
@@ -143,16 +158,24 @@ object Bench {
       val msg = f"rep $r: local[$nLow]=$tLow%.1fs local[${nLow * 4}]=$tHigh%.1fs eff=${p.eff}%.3f"
       System.err.println(s"[bench] $msg")
       repLog += msg
+      if (System.nanoTime() >= deadlineNs) {
+        outOfTime = true
+        repLog += s"wall budget reached after $r pair(s) at local[$nLow]→local[${nLow * 4}]"
+      }
     }
     val clean = cleanPairs(pairs.toSeq)
     val rejected = pairs.size - clean.size
     if (rejected > 0)
       repLog += s"rejected ${rejected} outlier pair(s): " +
         pairs.filterNot(clean.contains).map(p => f"rep ${p.rep} (eff=${p.eff}%.3f)").mkString(", ")
-    val eff = median(clean.map(_.eff))
-    val tpsLow = median(clean.map(p => nTurns / p.tLow))
-    val tpsHigh = median(clean.map(p => nTurns / p.tHigh))
-    (nTurns, tpsLow, tpsHigh, eff, clean.size, rejected)
+    if (clean.isEmpty) {
+      // ADVICE r2: never emit "efficiency":NaN — omit the block instead
+      System.err.println(s"[bench] local[$nLow] pair: ALL pairs rejected/none run — omitting block")
+      None
+    } else Some(ScaleResult(nLow, nTurns,
+      median(clean.map(p => nTurns / p.tLow)),
+      median(clean.map(p => nTurns / p.tHigh)),
+      median(clean.map(_.eff)), clean.size, rejected))
   }
 
   /** Insert a row right after the `<!-- bench-rows -->` marker inside the
@@ -179,11 +202,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
-    // 160k convs ≈ 7.6M turns: sized so the low side runs ≥ 100s — the
-    // per-run serial component (planning, sample job, stage scheduling,
-    // ~5-10s) must be small against W/2 for the N→4N ratio to reflect
-    // parallel work, not fixed overhead
-    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "160000").toLong
+    // ~4.8M turns: the low side (local[1]) runs ≥ ~60s so the per-run
+    // serial component (planning, sample job, stage scheduling, ~5-10s) is
+    // small against W, while the FULL default run — 3 query reps + both
+    // scaling pairs — fits well inside the driver's bench timeout (the r2
+    // protocol at 160k convs + 10 max pairs could not, and was killed with
+    // nothing parsed)
+    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "100000").toLong
 
     // — 1. per-query timings: interleaved rounds, per-query median —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
@@ -213,28 +238,46 @@ object Bench {
     val results = names.map(n => n -> median(samples(n)))
     spark0.stop()
 
-    // — 2. scaling evidence —
-    val repLog = scala.collection.mutable.ArrayBuffer[String]()
-    val scaling: Option[(Long, Double, Double, Double, Int, Int)] = if (doScaling) {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    def jsonLine(extra: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
+    // print phase-1 results IMMEDIATELY (r2 lesson: the scaling phase ran
+    // past the driver's timeout and destroyed the already-measured
+    // per-query medians); the scaling line below is a superset rewrite
+    println(jsonLine(""))
+    System.out.flush()
+
+    // — 2. scaling evidence: both protocol pairs, wall-budgeted —
+    if (doScaling) {
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toLong
+      val repLog = scala.collection.mutable.ArrayBuffer[String]()
       val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
       val sPrep = session(32)
       val nTurns = materializeCorpus(sPrep, scalingConvs, corpusDir)
       sPrep.stop()
-      Some(scalingEvidence(corpusDir, nTurns, repLog))
-    } else None
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val scalingJson = scaling.map { case (n, tpsL, tpsH, eff, nClean, nRej) =>
-      f""","scaling":{"turns":$n,"n_low":${sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1")},"turns_per_sec_n":$tpsL%.1f,"turns_per_sec_4n":$tpsH%.1f,"efficiency":$eff%.3f,"clean_pairs":$nClean,"rejected_pairs":$nRej}"""
-    }.getOrElse("")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
-
-    scaling.foreach { case (n, tpsL, tpsH, eff, nClean, nRej) =>
-      appendBenchRow(
-        f"| ${java.time.Instant.now()} | $n | $tpsL%.0f | $tpsH%.0f | $eff%.3f | $nClean/${nClean + nRej} | ${repLog.mkString("; ")} |")
+      val deadlineNs = System.nanoTime() + budgetSec * 1000000000L
+      // primary pair: bandwidth-uncontended N→4N-node proxy (default 1→4);
+      // secondary pair: BASELINE.md's literal local[8]→local[32] protocol —
+      // both reported so the gate is judged on data, not a protocol choice
+      val nPrimary = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
+      val s14 = scalingEvidence(corpusDir, nTurns, nPrimary, deadlineNs, repLog)
+      val s832 = if (nPrimary == 8) None
+                 else scalingEvidence(corpusDir, nTurns, 8, deadlineNs, repLog)
+      val extras = new StringBuilder
+      s14.foreach(r => extras ++= f""","efficiency_1to4":${r.eff}%.3f""")
+      s832.foreach(r => extras ++= f""","efficiency_8to32":${r.eff}%.3f""")
+      s14.foreach(r => extras ++= s""","scaling":${r.json}""")
+      s832.foreach(r => extras ++= s""","scaling_8to32":${r.json}""")
+      if (extras.nonEmpty) {
+        println(jsonLine(extras.toString))
+        System.out.flush()
+      }
+      (s14.toSeq ++ s832.toSeq).foreach { r =>
+        appendBenchRow(
+          f"| ${java.time.Instant.now()} (local[${r.nLow}]→local[${r.nLow * 4}]) | ${r.turns} | ${r.tpsLow}%.0f | ${r.tpsHigh}%.0f | ${r.eff}%.3f | ${r.clean}/${r.clean + r.rejected} | ${repLog.mkString("; ")} |")
+      }
     }
   }
 }
