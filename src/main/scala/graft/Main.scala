@@ -80,6 +80,19 @@ object Main {
     val shards = cfg.int("shards", 1)
     val fmt = cfg.str("format").getOrElse("parquet")
     if (shards > 1) {
+      // fail fast on silently-unsupported combinations (ADVICE r2):
+      //  - the resumable path always writes parquet shards; a csv request
+      //    must error, not silently produce parquet
+      //  - post.col_null_max is DATA-dependent: applied per shard it drops
+      //    different columns in different shards (shard-dependent schemas);
+      //    apply it globally on the read-back instead:
+      //    PostProcess.dropSparseColumns(Snapshot.read(spark, out), t)
+      require(fmt == "parquet",
+        s"shards>1 writes resumable parquet snapshots; format=$fmt is not supported on the sharded path")
+      require(cfg.dbl("post.col_null_max").isEmpty,
+        "post.col_null_max is data-dependent and cannot run per shard (schemas would " +
+          "diverge across shards); with shards>1 apply it globally after read-back: " +
+          "PostProcess.dropSparseColumns(Snapshot.read(spark, output), threshold)")
       // resumable snapshot write: matrix computed per conv_id shard, each
       // shard committed with lineage; rerun resumes at the first missing
       val recs = checkpoint.Snapshot.runResumable(turns, output, shards) { shard =>

@@ -117,7 +117,8 @@ object SparkEntry {
           "len", 0.1, "len_trim_mean", "conv_id")
         .orderBy("conv_id")),
 
-    // ——— W3 rolling aggregate (centered-style frame over turn order) ———
+    // ——— W3 rolling aggregate (trailing 5-row frame over turn order; a
+    //     true centered frame lives in Windowed.motion) ———
     "q_rolling_textlen" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx")).rowsBetween(-4, 0)
       Tables.turns(s, dir)
@@ -300,15 +301,32 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    // ——— LSH-bucketed ANN (sign-plane coarse quantization, scale path) ———
+    // ——— LSH-banded ANN: 16 random hyperplanes, 4 bands of 4 bits ———
+    // The scale path for sign-plane LSH (r2 gap: 4 axis-aligned planes =
+    // 16 buckets, toy recall/selectivity): a 16-bit random-plane signature
+    // (each bit one codegen'd dot product against a deterministic integer
+    // plane), BANDED like the MinHash/SimHash near-dup paths — candidates
+    // are the union of 4 per-band equi-join buckets (multi-table LSH:
+    // recall from band count, selectivity from band width), never an
+    // all-pairs comparison. Queries are broadcast; the corpus side is one
+    // scan + one band fan-out.
     "q_knn_lsh" -> ((s, dir) => {
       import graft.functions.VectorFns._
-      val e = Tables.embeddings(s, dir).withColumn("bucket", signBucket4(col("embedding")))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
-      val sims = broadcast(q).join(e, Seq("bucket"))
+      import graft.functions.TextFns.hashBands
+      val e = Tables.embeddings(s, dir)
+      val banded = hashBands(
+        e.withColumn("sig", signPlanes(col("embedding"), 16, 64)), "sig", 16, 4)
+        .select(col("vec_id"), col("band_idx"), col("band_val"))
+      val qb = banded.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
+      val cand = broadcast(qb).join(banded, Seq("band_idx", "band_val"))
         .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("bucket"), col("vec_id").as("nbr"),
+        .select(col("qid"), col("vec_id").as("nbr")).distinct()
+      val qv = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sims = cand
+        .join(broadcast(qv), Seq("qid"))
+        .join(e.withColumnRenamed("vec_id", "nbr"), Seq("nbr"))
+        .select(col("qid"), col("nbr"),
           round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
       sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
@@ -356,7 +374,11 @@ object SparkEntry {
       val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
       val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
         .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
-      sets.join(broadcast(wanted), Seq("doc_id"))
+      // no broadcast hint on the candidate-pair list: near-dup counts are
+      // small by construction, so AQE picks broadcast at runtime — but a
+      // boilerplate-saturated corpus (giant candidate set) must degrade to
+      // a shuffle join instead of OOMing the driver on a forced broadcast
+      sets.join(wanted, Seq("doc_id"))
         .groupBy("da", "db")
         .agg(
           first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
@@ -542,14 +564,35 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
-    // ——— IVF-style ANN: nearest-of-16-centroids cells, search in cell ———
+    // ——— IVF ANN: TRAINED 16-centroid codebook, search within cell ———
+    // r2 gap closed: the codebook is now trained, not the lowest-16-id
+    // stub. Deterministic spherical k-means: seed with the 16 lowest-id
+    // vectors, then 3 Lloyd iterations entirely in DataFrame ops —
+    // assign = argmax of round(cosine, 6) against the broadcast codebook
+    // (one codegen'd dot_product_f per centroid), re-center = element-wise
+    // mean via posexplode with components rounded to 6 decimals so the
+    // DuckDB oracle reproduces the codebook bit-for-bit; a cell that loses
+    // all members drops out (both engines agree). At 100 TB training runs
+    // on a sample; the per-iteration shape (broadcast codebook, one corpus
+    // pass) is already the scale path.
     "q_knn_ivf" -> ((s, dir) => {
       import graft.functions.VectorFns._
       val e = Tables.embeddings(s, dir)
-      // deterministic "centroids": the 16 lowest-id vectors (k-means seeding
-      // analog; at scale these come from a trained codebook)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val seed = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val cents = (1 to 3).foldLeft(seed) { (c, _) =>
+        e.crossJoin(broadcast(c))
+          .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
+          .filter(col("r") === 1)
+          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cent_id", "pos").agg(avg(col("v").cast("double")).as("m"))
+          .groupBy("cent_id")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => round(x.getField("m"), 6)).as("cv"))
+      }
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
         .withColumn("r", row_number().over(
@@ -639,6 +682,78 @@ object SparkEntry {
         .join(matched, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), lit("other")).as("label"))
         .orderBy("doc_id")
+    }),
+
+    // ——— F1 FULL port: two-level word-list classifier with suffix-
+    //     expansion precompute (tempo.py:112-119: base words expanded with
+    //     -etto/-issimo/... variants BEFORE matching) and level-1→level-2
+    //     collapse (get_tempo_grouped_2, tempo.py:185-244: the matched
+    //     variant maps into a coarse family through the same expanded
+    //     sets). Level 1 = FIRST matching token in document order (the
+    //     reference scans words left to right), with the "ma non" negation
+    //     look-back ported as a prev-token guard. The expansion is a
+    //     driver-side precompute into one broadcast rule table carrying
+    //     (variant → family), so the level-2 collapse is exactly the
+    //     expanded-set membership the reference builds. ———
+    "q_rule_classify_2level" -> ((s, dir) => {
+      import s.implicits._
+      val bases = Seq(
+        ("join", "relational"), ("merge", "relational"),
+        ("stream", "temporal"), ("window", "temporal"),
+        ("scan", "access"), ("filter", "access"), ("sort", "access"))
+      // suffix expansion (tempo.py:112-119 mechanics: word+suffix and
+      // word-minus-last-char+suffix)
+      val rules = bases.flatMap { case (w, fam) =>
+        (Seq(w, w + "s", w + "ed", w + "ing", w.dropRight(1) + "ing"))
+          .map(v => (v, fam))
+      }.distinct.toDF("variant", "family")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val guarded = toks.withColumn("prev_tok", lag(col("tok"), 1).over(wOrd))
+      val matched = guarded.join(broadcast(rules), col("tok") === col("variant"))
+        .filter(coalesce(col("prev_tok"), lit("")) =!= "not")
+        .groupBy("doc_id")
+        // first match in token order: composite arg-min over (pos, variant,
+        // family) encoded as one sortable string (engine-portable)
+        .agg(min(format_string("%09d|%s|%s",
+          col("pos"), col("variant"), col("family"))).as("__k"))
+        .select(col("doc_id"),
+          element_at(split(col("__k"), "\\|"), 2).as("label1"),
+          element_at(split(col("__k"), "\\|"), 3).as("label2"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label1"), lit("na")).as("label1"),
+          coalesce(col("label2"), lit("na")).as("label2"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— A26 mix-with-precedent + G2 column-group sum, end to end ———
+    // Two role-variant matrices of the same conversations merged by the
+    // reference's name rules (common.py:39-54): *_max → larger, *_min →
+    // smaller, strings → precedent wins, numerics → mean, all
+    // null-coalescing; then a G2 column-group sum over the merged frame
+    // (process/utils.py:44-225 shape).
+    "q_merge_precedent" -> ((s, dir) => {
+      val t = Tables.turns(s, dir)
+      def variant(role: String) = t.filter(col("role") === role)
+        .groupBy("conv_id").agg(
+          max(length(col("text"))).cast("long").as("len_max"),
+          min(length(col("text"))).cast("long").as("len_min"),
+          round(avg(length(col("text"))), 6).as("len_mean"),
+          count(lit(1)).as("n_turns"),
+          first(lit(role)).as("variant_label"))
+      val merged = graft.process.PostProcess.mergeWithPrecedent(
+        variant("user"), variant("assistant"), Seq("conv_id"))
+      graft.process.PostProcess.sumColumnGroup(
+          merged, "len_extremes_sum", Seq("len_max", "len_min"))
+        .select(col("conv_id"), col("len_max"), col("len_min"),
+          round(col("len_mean").cast("double"), 6).as("len_mean"),
+          round(col("n_turns").cast("double"), 6).as("n_turns_mean"),
+          col("variant_label"),
+          round(col("len_extremes_sum"), 6).as("len_extremes_sum"))
+        .orderBy("conv_id")
     }),
 
     // ——— F8 label regex parsing: vendored-regex port shape
@@ -740,6 +855,36 @@ object SparkEntry {
           turnsOrdered(s, dir), Some(Tables.state(s, dir)))
         .orderBy("conv_id")),
   )
+
+  /** DuckDB cosine over two DOUBLE[] expressions (the oracle twin of
+    * VectorFns.cosine: left-to-right list_sum matches DotProductExpr's
+    * accumulation order).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"list_sum(list_apply(list_zip($a, $b), t -> t[1] * t[2]))" +
+      s" / (sqrt(list_sum(list_apply($a, x -> x * x)))" +
+      s" * sqrt(list_sum(list_apply($b, x -> x * x))))"
+
+  /** One unrolled Lloyd iteration for the q_knn_ivf oracle: assign every
+    * vector to its argmax-rounded-cosine centroid from `c{i-1}`, then
+    * re-center cells as element-wise means rounded to 6 decimals (the
+    * exact twin of the Spark fold in q_knn_ivf).
+    */
+  private def ivfIter(i: Int): String =
+    s"""a$i AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.emb", "c.cv")}, 6) DESC, c.cent_id) AS r
+       |    FROM e2 e, c${i - 1} c)
+       |  WHERE r = 1),
+       |c$i AS (
+       |  SELECT cell AS cent_id, list(round(m, 6) ORDER BY pos) AS cv FROM (
+       |    SELECT cell, pos, avg(v) AS m FROM (
+       |      SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+       |      FROM a$i)
+       |    GROUP BY 1, 2)
+       |  GROUP BY cell)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_turns_base" -> Oracle.withTurns(
@@ -1003,23 +1148,34 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     "q_knn_lsh" -> (
-      """WITH b AS (
-        |  SELECT vec_id, embedding,
-        |    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END +
-        |     CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
-        |     CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
-        |  FROM embeddings),
+      s"""WITH planes AS (
+        |  SELECT p.p, d.d,
+        |    (('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT % 2001) - 1000 AS w
+        |  FROM (SELECT unnest(range(0, 16)) AS p) p,
+        |       (SELECT unnest(range(1, 65)) AS d) d),
+        |dots AS (
+        |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d]::DOUBLE * pl.w) AS dot
+        |  FROM embeddings e, planes pl GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS s
+        |  FROM dots GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 4)) & 15 AS band_val
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nbr
+        |  FROM bands q JOIN bands e
+        |    ON q.band_idx = e.band_idx AND q.band_val = e.band_val
+        |  WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id),
         |sims AS (
-        |  SELECT q.vec_id AS qid, q.bucket, e.vec_id AS nbr,
-        |    round(list_sum(list_apply(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
-        |            t -> t[1] * t[2]))
-        |      / (sqrt(list_sum(list_apply(q.embedding::DOUBLE[], x -> x * x)))
-        |         * sqrt(list_sum(list_apply(e.embedding::DOUBLE[], x -> x * x)))), 6) AS cos_sim
-        |  FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id < 5 AND q.vec_id <> e.vec_id)
-        |SELECT qid, CAST(bucket AS INTEGER) AS bucket, nbr, cos_sim,
-        |       CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT qid, bucket, nbr, cos_sim,
+        |  SELECT c.qid, c.nbr,
+        |    round(${duckCos("qe.embedding::DOUBLE[]", "ne.embedding::DOUBLE[]")}, 6) AS cos_sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.qid
+        |  JOIN embeddings ne ON ne.vec_id = c.nbr)
+        |SELECT qid, nbr, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT qid, nbr, cos_sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
         |  FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
@@ -1324,24 +1480,21 @@ object SparkEntry {
         |FROM d GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_knn_ivf" -> (
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, emb AS cv FROM e2 WHERE vec_id < 16),
+        |${ivfIter(1)},
+        |${ivfIter(2)},
+        |${ivfIter(3)},
         |assigned AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_sum(list_apply(list_zip(e.embedding::DOUBLE[], c.cv::DOUBLE[]),
-        |                t -> t[1] * t[2]))
-        |          / (sqrt(list_sum(list_apply(e.embedding::DOUBLE[], x -> x * x)))
-        |             * sqrt(list_sum(list_apply(c.cv::DOUBLE[], x -> x * x)))), 6) DESC,
-        |        c.cent_id) AS r
-        |    FROM embeddings e, cents c)
+        |  SELECT vec_id, emb, cell FROM (
+        |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${duckCos("e.emb", "c.cv")}, 6) DESC, c.cent_id) AS r
+        |    FROM e2 e, c3 c)
         |  WHERE r = 1),
         |sims AS (
         |  SELECT q.vec_id AS qid, q.cell, e.vec_id AS nbr,
-        |    round(list_sum(list_apply(list_zip(q.embedding::DOUBLE[], e.embedding::DOUBLE[]),
-        |            t -> t[1] * t[2]))
-        |      / (sqrt(list_sum(list_apply(q.embedding::DOUBLE[], x -> x * x)))
-        |         * sqrt(list_sum(list_apply(e.embedding::DOUBLE[], x -> x * x)))), 6) AS cos_sim
+        |    round(${duckCos("q.emb", "e.emb")}, 6) AS cos_sim
         |  FROM assigned q JOIN assigned e ON q.cell = e.cell
         |  WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id)
         |SELECT qid, CAST(cell AS BIGINT) AS cell, nbr, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
@@ -1405,6 +1558,72 @@ object SparkEntry {
         |            ELSE split_part(m.k, '|', 2) END AS label
         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    "q_rule_classify_2level" -> (
+      """WITH base(tok, fam) AS (VALUES
+        |  ('join', 'relational'), ('merge', 'relational'),
+        |  ('stream', 'temporal'), ('window', 'temporal'),
+        |  ('scan', 'access'), ('filter', 'access'), ('sort', 'access')),
+        |rules AS (
+        |  SELECT DISTINCT v AS variant, fam AS family FROM (
+        |    SELECT unnest([tok, tok || 's', tok || 'ed', tok || 'ing',
+        |                   left(tok, length(tok) - 1) || 'ing']) AS v, fam
+        |    FROM base)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tok, pos,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_tok
+        |  FROM toks),
+        |m AS (
+        |  SELECT g.doc_id,
+        |         min(printf('%09d|%s|%s', g.pos, r.variant, r.family)) AS k
+        |  FROM g JOIN rules r ON g.tok = r.variant
+        |  WHERE coalesce(g.prev_tok, '') <> 'not'
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN m.k IS NULL THEN 'na' ELSE split_part(m.k, '|', 2) END AS label1,
+        |       CASE WHEN m.k IS NULL THEN 'na' ELSE split_part(m.k, '|', 3) END AS label2
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q_merge_precedent" -> Oracle.withTurnsCtes(
+      """a AS (
+        |  SELECT conv_id, max(length(text)) AS len_max, min(length(text)) AS len_min,
+        |         round(avg(length(text)), 6) AS len_mean, count(*) AS n_turns,
+        |         'user' AS variant_label
+        |  FROM turns WHERE role = 'user' GROUP BY conv_id),
+        |b AS (
+        |  SELECT conv_id, max(length(text)) AS len_max, min(length(text)) AS len_min,
+        |         round(avg(length(text)), 6) AS len_mean, count(*) AS n_turns,
+        |         'assistant' AS variant_label
+        |  FROM turns WHERE role = 'assistant' GROUP BY conv_id),
+        |m AS (
+        |  SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+        |    CASE WHEN a.len_max IS NULL THEN b.len_max
+        |         WHEN b.len_max IS NULL THEN a.len_max
+        |         WHEN a.len_max >= b.len_max THEN a.len_max ELSE b.len_max END AS len_max,
+        |    CASE WHEN a.len_min IS NULL THEN b.len_min
+        |         WHEN b.len_min IS NULL THEN a.len_min
+        |         WHEN a.len_min <= b.len_min THEN a.len_min ELSE b.len_min END AS len_min,
+        |    CASE WHEN a.len_mean IS NULL THEN b.len_mean
+        |         WHEN b.len_mean IS NULL THEN a.len_mean
+        |         ELSE (CAST(a.len_mean AS DOUBLE) + CAST(b.len_mean AS DOUBLE)) / 2.0 END AS len_mean,
+        |    CASE WHEN a.n_turns IS NULL THEN CAST(b.n_turns AS DOUBLE)
+        |         WHEN b.n_turns IS NULL THEN CAST(a.n_turns AS DOUBLE)
+        |         ELSE (CAST(a.n_turns AS DOUBLE) + CAST(b.n_turns AS DOUBLE)) / 2.0 END AS n_turns,
+        |    coalesce(a.variant_label, b.variant_label) AS variant_label
+        |  FROM a FULL JOIN b ON a.conv_id = b.conv_id)
+        |SELECT conv_id, CAST(len_max AS BIGINT) AS len_max,
+        |       CAST(len_min AS BIGINT) AS len_min,
+        |       round(len_mean, 6) AS len_mean,
+        |       round(n_turns, 6) AS n_turns_mean,
+        |       variant_label,
+        |       round(coalesce(CAST(len_max AS DOUBLE), 0) +
+        |             coalesce(CAST(len_min AS DOUBLE), 0), 6) AS len_extremes_sum
+        |FROM m ORDER BY conv_id""".stripMargin),
 
     "q_label_parse" -> Oracle.withTurns(
       """SELECT conv_id, turn_idx,

@@ -111,7 +111,12 @@ object Snapshot {
     val done = completedShards(out).toSeq.sorted
     require(done.nonEmpty, s"no committed shards under $out")
     // explicit roots, no basePath: no partition-column inference — schema
-    // stays exactly the job's output schema, as with the old glob read
-    spark.read.parquet(done.map(k => s"$out/shard=$k"): _*)
+    // stays exactly the job's output schema, as with the old glob read.
+    // mergeSchema: shard schemas are identical for schema-stable post
+    // steps (Main fails fast on the data-dependent ones), but a snapshot
+    // written across engine versions may legitimately differ — union the
+    // schemas instead of silently sampling one shard's footer
+    spark.read.option("mergeSchema", "true")
+      .parquet(done.map(k => s"$out/shard=$k"): _*)
   }
 }

@@ -65,7 +65,13 @@ object MiniYaml {
           val v = t.substring(sep + 1).trim
           if (v.isEmpty) {
             val (child, next) = parseBlock(i + 1, ind + 1)
-            m(k) = child
+            // a bare `key:` with no indented children is a NULL scalar, not
+            // an empty map — otherwise cfg.str(key) stringifies Map() and a
+            // missing `input:` runs with the literal path "Map()"
+            m(k) = child match {
+              case cm: Map[_, _] if cm.isEmpty && next == i + 1 => null
+              case other                                        => other
+            }
             i = next
           } else if (v.startsWith("[") && v.endsWith("]")) {
             val inner = v.substring(1, v.length - 1).trim

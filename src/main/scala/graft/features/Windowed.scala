@@ -47,7 +47,7 @@ object Windowed {
     *  2. the W8 fan-out explodes each turn into the ≤⌈ws/hop⌉ windows
     *     containing it;
     *  3. each (conv, window) slice becomes a composite-key "conversation"
-    *     (`conv_id#window_id`), so every module's enrich windows and aggs —
+    *     (a `struct(conv_id, window_id)` key), so every module's enrich windows and aggs —
     *     written against `conv_id` — run per window UNCHANGED: lag deltas
     *     restart at window starts, sessions/runs/trim ranks are computed
     *     within the window, exactly like the reference's per-window re-run;
@@ -74,11 +74,14 @@ object Windowed {
         case _                 => df
       }
     }
-    // stage 2+3: fan-out, then composite per-window conversation key
+    // stage 2+3: fan-out, then composite per-window conversation key — a
+    // STRUCT, not a "conv#window" string: no separator-collision hazard
+    // (a conv_id containing the separator char would split wrong) and no
+    // string building/parsing through the shuffle at scale
     val fanned = WindowFanout.byTurnIdx(aligned, windowSize, overlap)
-      .withColumn("__conv", col("conv_id"))
       .withColumn("conv_id",
-        concat(col("conv_id"), lit("#"), col("window_id").cast("string")))
+        struct(col("conv_id").as("c"), col("window_id").as("w")))
+      .drop("window_id")
     val enriched = ordered.foldLeft(fanned) { (df, m) =>
       m match {
         case _: StatefulModule => df // already applied pre-fan-out
@@ -92,8 +95,8 @@ object Windowed {
     val extraFrames = ordered.flatMap(_.frames(enriched))
     val joined = extraFrames.foldLeft(main)((acc, f) => acc.join(f, Seq("conv_id"), "left"))
     val split = joined
-      .withColumn("window_id", substring_index(col("conv_id"), "#", -1).cast("int"))
-      .withColumn("conv_id", substring_index(col("conv_id"), "#", 1))
+      .withColumn("window_id", col("conv_id.w").cast("int"))
+      .withColumn("conv_id", col("conv_id.c"))
     split.select((Seq("conv_id", "window_id") ++
       split.columns.filterNot(c => c == "conv_id" || c == "window_id")).map(col): _*)
   }

@@ -34,12 +34,38 @@ object VectorFns {
     sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
   /** Coarse LSH/IVF-style bucket from the signs of the first 4 dimensions
-    * (0..15). At scale: bucket both sides, shuffle on bucket, search within
-    * bucket only — the classic random-hyperplane LSH with axis-aligned
-    * planes (deterministic, oracle-reproducible).
+    * (0..15) — the toy axis-aligned form kept as a reference baseline;
+    * the scale path is [[signPlanes]] (16 RANDOM hyperplanes, banded).
     */
   def signBucket4(v: Column): Column = {
     def bit(i: Int) = when(element_at(v, i + 1) > 0.0f, 1).otherwise(0)
     (bit(0) * 8 + bit(1) * 4 + bit(2) * 2 + bit(3)).cast("int")
   }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p, 1-based
+    * dim d): integer in [-1000, 1000] from the shared engine-portable
+    * md5-60-bit primitive, so the DuckDB oracle reproduces the planes as
+    * `(('0x'||substr(md5(p||':'||d),1,15))::BIGINT % 2001) - 1000`.
+    * Integer weights keep the dot product's sign far from the float-ulp
+    * boundary (values O(1000), cross-engine summation-order noise O(1e-9)).
+    */
+  def planeWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L - 1000L).toDouble
+  }
+
+  /** `nPlanes`-bit random-hyperplane signature (classic SimHash-for-vectors
+    * LSH): bit p = sign(v · plane_p). Each plane is a literal weight array,
+    * so every dot product is one codegen'd [[DotProductExpr]] loop. At
+    * scale the signature is BANDED (e.g. 16 bits → 4 bands of 4 via
+    * [[TextFns.hashBands]]) and candidates are the union of per-band
+    * equi-join buckets — recall comes from multiple tables, selectivity
+    * from band width, no all-pairs comparison anywhere.
+    */
+  def signPlanes(v: Column, nPlanes: Int = 16, dim: Int = 64): Column =
+    (0 until nPlanes).map { p =>
+      val w = typedLit((1 to dim).map(d => planeWeight(p, d)))
+      when(dot(v, w) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -71,6 +71,46 @@ object PostProcess {
     df.select((pri ++ rest).map(col): _*)
   }
 
+  /** A26: mix-with-precedent merge of two feature matrices over the same
+    * keys — the musiF role-variant merge
+    * (`_mix_data_with_precedent_data`, musif/extract/common.py:39-54):
+    * per shared column, by NAME rule —
+    *   - contains "max"/"highest" → the larger value (nulls lose);
+    *   - contains "min"/"lowest"  → the smaller value (nulls lose);
+    *   - string-typed             → the precedent's value, null-filled from
+    *     the new side (the reference keeps `prev` for non-numerics);
+    *   - otherwise (numeric)      → mean of the two, null-coalescing.
+    * Rows present on one side only pass through (full outer on `keys`);
+    * columns present on one side only pass through unchanged. Null rules
+    * are written as explicit CASEs (not greatest/least) so the DuckDB
+    * oracle is the literal same expression.
+    */
+  def mergeWithPrecedent(prev: DataFrame, next: DataFrame,
+                         keys: Seq[String] = Seq("conv_id")): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val shared = prev.columns.filter(c => !keys.contains(c) && next.columns.contains(c))
+    val onlyA = prev.columns.filter(c => !keys.contains(c) && !next.columns.contains(c))
+    val onlyB = next.columns.filter(c => !keys.contains(c) && !prev.columns.contains(c))
+    val j = prev.alias("__p").join(next.alias("__n"), keys, "full_outer")
+    val merged = shared.map { c =>
+      val lo = c.toLowerCase
+      val pa = col(s"__p.$c"); val pb = col(s"__n.$c")
+      val out =
+        if (lo.contains("max") || lo.contains("highest"))
+          when(pa.isNull, pb).when(pb.isNull, pa).when(pa >= pb, pa).otherwise(pb)
+        else if (lo.contains("min") || lo.contains("lowest"))
+          when(pa.isNull, pb).when(pb.isNull, pa).when(pa <= pb, pa).otherwise(pb)
+        else if (prev.schema(c).dataType == StringType)
+          coalesce(pa, pb)
+        else
+          when(pa.isNull, pb).when(pb.isNull, pa)
+            .otherwise((pa.cast("double") + pb.cast("double")) / 2.0)
+      out.as(c)
+    }
+    j.select(keys.map(col) ++ merged.toSeq ++
+      onlyA.toSeq.map(c => col(s"__p.$c")) ++ onlyB.toSeq.map(c => col(s"__n.$c")): _*)
+  }
+
   /** S8: merge two runs' feature matrices — musiF `merge_dataframes`
     * (process/utils.py:234-254): align on column names (missing columns
     * null-filled), drop rows without a key.
@@ -98,12 +138,21 @@ object PostProcess {
     * for a deterministic column order.
     */
   def explodeMapToColumns(df: DataFrame, mapCol: String, prefix: String,
-                          fill: Long = 0L): DataFrame = {
+                          fill: Long = 0L, maxKeys: Int = 1000): DataFrame = {
     def colName(k: String) =
       prefix + k.split("[^A-Za-z0-9]+").filter(_.nonEmpty)
         .map(w => w.head.toUpper + w.tail).mkString
-    val keys = df.select(explode(map_keys(col(mapCol))).as("k"))
-      .distinct().collect().map(_.getString(0)).sortBy(colName)
+    // the vocabulary fetch is capped BEFORE collect (limit maxKeys+1, not
+    // collect-then-count): a free-text key column must fail loudly here,
+    // not OOM the driver
+    val fetched = df.select(explode(map_keys(col(mapCol))).as("k"))
+      .distinct().limit(maxKeys + 1).collect().map(_.getString(0))
+    require(fetched.length <= maxKeys,
+      s"explodeMapToColumns($mapCol): key cardinality exceeds maxKeys=$maxKeys " +
+        s"(> ${fetched.length - 1} distinct keys observed) — wide export is for " +
+        "label-alphabet-bounded histograms, not free-text keys; raise maxKeys " +
+        "only if the vocabulary is genuinely bounded")
+    val keys = fetched.sortBy(colName)
     val wide = keys.map(k =>
       coalesce(element_at(col(mapCol), k), lit(fill)).as(colName(k)))
     df.select(df.columns.filterNot(_ == mapCol).map(col) ++ wide: _*)

@@ -35,6 +35,33 @@ class ConfigSpec extends SparkSpec {
     assert(m("ratio") == 0.25)
   }
 
+  test("bare `key:` with no children parses as null, not an empty map") {
+    val cfg = GraftConfig.fromLayers(MiniYaml.parse(
+      """input:
+        |mode: windowed
+        |""".stripMargin))
+    assert(cfg.str("input").isEmpty) // was Some("Map()") — ADVICE r2
+    assert(cfg.str("mode").contains("windowed"))
+    // a key WITH children still nests
+    val nested = GraftConfig.fromLayers(MiniYaml.parse("window:\n  size: 9\n"))
+    assert(nested.int("window.size", -1) == 9)
+  }
+
+  test("sharded path fails fast on csv format and per-shard col_null_max") {
+    def cfg(extra: String) = GraftConfig.fromLayers(MiniYaml.parse(
+      s"""input: /root/testdata/sf0.001
+         |output: /tmp/graft_failfast
+         |shards: 2
+         |$extra
+         |""".stripMargin))
+    val e1 = intercept[IllegalArgumentException] { Main.run(spark, cfg("format: csv")) }
+    assert(e1.getMessage.contains("format=csv"))
+    val e2 = intercept[IllegalArgumentException] {
+      Main.run(spark, cfg("post:\n  col_null_max: 0.5"))
+    }
+    assert(e2.getMessage.contains("col_null_max"))
+  }
+
   test("merge order: defaults <- file <- overrides, deep per-field") {
     val file = MiniYaml.parse(
       """mode: windowed

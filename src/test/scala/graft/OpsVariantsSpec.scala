@@ -200,6 +200,22 @@ class OpsVariantsSpec extends SparkSpec {
     assert(withNullElem.select(dot(col("a"), col("b"))).as[Option[Double]].head().isEmpty)
   }
 
+  test("dot product accepts float/double mixes (trained-codebook + plane-literal paths)") {
+    import graft.functions.VectorFns._
+    val mixed = spark.sql(
+      """SELECT cast(array(1.5, -2.0) AS array<float>) f,
+        |       cast(array(0.25, 4.0) AS array<double>) d""".stripMargin)
+    val got = mixed.select(
+      dot(col("f"), col("d")).as("fd"),
+      dot(col("d"), col("d")).as("dd")).head()
+    assert(got.getDouble(0) == 1.5 * 0.25 + -2.0 * 4.0)
+    assert(got.getDouble(1) == 0.25 * 0.25 + 4.0 * 4.0)
+    // deterministic plane weights are engine-portable md5-derived integers
+    assert(planeWeight(0, 1) == planeWeight(0, 1))
+    assert(planeWeight(0, 1) >= -1000 && planeWeight(0, 1) <= 1000)
+    assert((0 until 16).flatMap(p => (1 to 64).map(d => planeWeight(p, d))).distinct.size > 50)
+  }
+
   test("salted aggregation equals direct groupBy on skewed data") {
     val turns = graft.datagen.TranscriptGen.turns(spark, 30, skewEvery = 29)
       .withColumn("text_len", length(col("text")).cast("long"))

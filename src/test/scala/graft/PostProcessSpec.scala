@@ -66,6 +66,39 @@ class PostProcessSpec extends SparkSpec {
     assert(m == Map("x" -> 0.5, "y" -> 0.25, "z" -> 0.25))
   }
 
+  test("mergeWithPrecedent: name rules (A26 mix-with-precedent, common.py:39-54)") {
+    val prev = Seq(
+      ("c1", Some(5L), Some(2L), Some(10.0), Some("p")),
+      ("c2", Some(1L), Some(1L), None: Option[Double], Some("p"))
+    ).toDF("conv_id", "len_max", "len_min", "score", "tag")
+    val next = Seq(
+      ("c1", Some(3L), Some(1L), Some(20.0), None: Option[String]),
+      ("c2", None: Option[Long], Some(4L), Some(7.0), Some("n")),
+      ("c3", Some(9L), Some(9L), Some(9.0), Some("n"))
+    ).toDF("conv_id", "len_max", "len_min", "score", "tag")
+    val m = PostProcess.mergeWithPrecedent(prev, next).orderBy("conv_id")
+      .as[(String, Option[Long], Option[Long], Option[Double], Option[String])]
+      .collect().toSeq
+    assert(m == Seq(
+      ("c1", Some(5L), Some(1L), Some(15.0), Some("p")), // max/min rules; numeric mean; string precedent
+      ("c2", Some(1L), Some(1L), Some(7.0), Some("p")),  // nulls coalesce each way
+      ("c3", Some(9L), Some(9L), Some(9.0), Some("n"))   // row only on the new side passes through
+    ))
+  }
+
+  test("explodeMapToColumns fails loudly above maxKeys (no unbounded driver collect)") {
+    import graft.ops.OpenHistogram
+    val t = (1 to 10).map(i => ("a", s"k$i")).toDF("conv_id", "label")
+    val m = OpenHistogram.histMap(t, Seq("conv_id"), "label")
+    val e = intercept[IllegalArgumentException] {
+      PostProcess.explodeMapToColumns(m, "hist", "H_", maxKeys = 5)
+    }
+    assert(e.getMessage.contains("maxKeys=5"))
+    // at or under the cap still works
+    assert(PostProcess.explodeMapToColumns(m, "hist", "H_", maxKeys = 10)
+      .columns.length == 11)
+  }
+
   test("renderReferenceNames: role prefix and score prefix") {
     val m = Seq(("c1", 3L, 2.5, 7L)).toDF("conv_id", "role_user_n_turns", "len_mean", "n_turns")
     val r = PostProcess.renderReferenceNames(m)
