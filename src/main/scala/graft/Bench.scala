@@ -98,20 +98,23 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
-  /** Outlier rejection (round-1 lesson: one 14x ambient-noise rep poisoned
-    * the reported median into a physically-implausible 1.8): a pair is
-    * CLEAN iff both wall times are within 2x of the across-pair median on
-    * their side AND the implied efficiency is physically plausible
-    * (0 < eff ≤ 1.05 — N→4N on identical work cannot beat 1.0; 5% grace
-    * for residual noise).
+  /** Outlier rejection. Anchor = the per-side MINIMUM, not the median
+    * (r3 lesson: a 2.2×-inflated pair stayed "clean" because later slow
+    * pairs dragged the median up until the outlier fit back under 2×
+    * median). Wall time on identical work is true-cost + ambient noise,
+    * and noise only ever ADDS time — so the per-side min is a robust
+    * estimate of true cost, and a pair is CLEAN iff both sides are within
+    * 1.6× of their side's min AND the implied efficiency is physically
+    * plausible (0 < eff ≤ 1.05 — N→4N on identical work cannot beat 1.0;
+    * 5% grace for residual noise). 1.6 chosen from the observed clean
+    * spread across the r2 campaign (≤ 1.5× within-side).
     */
   def cleanPairs(ps: Seq[ScalePair]): Seq[ScalePair] = {
     if (ps.isEmpty) return Nil
-    val mLow = median(ps.map(_.tLow))
-    val mHigh = median(ps.map(_.tHigh))
+    val minLow = ps.map(_.tLow).min
+    val minHigh = ps.map(_.tHigh).min
     ps.filter(p =>
-      p.tLow <= 2 * mLow && p.tLow >= mLow / 2 &&
-        p.tHigh <= 2 * mHigh && p.tHigh >= mHigh / 2 &&
+      p.tLow <= 1.6 * minLow && p.tHigh <= 1.6 * minHigh &&
         p.eff > 0 && p.eff <= 1.05)
   }
 
@@ -132,11 +135,13 @@ object Bench {
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "6").toInt
     val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "192").toInt
 
-    def timedRun(cores: Int, warm: Boolean): Double = {
+    def timedRun(cores: Int): Double = {
       val s = session(cores, parts, forScaling = true)
-      if (warm) flagshipRun(s, corpusDir) // JIT/codegen warm (first pair only)
       // sessions share one JVM: collect the previous run's garbage OUTSIDE
-      // the timed section so GC debt doesn't land on a random side
+      // the timed section so GC debt doesn't land on a random side. JIT/
+      // codegen warmth comes from the single global warm run in main()
+      // (one JVM-wide codegen cache) — per-pair warm runs burned ~40% of
+      // the r3 wall budget at local[1] and starved the second pair type.
       System.gc()
       val sec = flagshipRun(s, corpusDir)
       s.stop()
@@ -151,8 +156,8 @@ object Bench {
     while (!outOfTime && r < maxPairs &&
            (r < minClean || cleanPairs(pairs.toSeq).size < minClean)) {
       r += 1
-      val tLow = timedRun(nLow, warm = r == 1)
-      val tHigh = timedRun(nLow * 4, warm = r == 1)
+      val tLow = timedRun(nLow)
+      val tHigh = timedRun(nLow * 4)
       val p = ScalePair(r, tLow, tHigh)
       pairs += p
       val msg = f"rep $r: local[$nLow]=$tLow%.1fs local[${nLow * 4}]=$tHigh%.1fs eff=${p.eff}%.3f"
@@ -251,20 +256,29 @@ object Bench {
 
     // — 2. scaling evidence: both protocol pairs, wall-budgeted —
     if (doScaling) {
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toLong
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1080").toLong
       val repLog = scala.collection.mutable.ArrayBuffer[String]()
       val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
       val sPrep = session(32)
       val nTurns = materializeCorpus(sPrep, scalingConvs, corpusDir)
+      // single global warm: the flagship plan's codegen/parquet-footer
+      // costs are JVM-wide, so one local[32] run warms every later session
+      flagshipRun(sPrep, corpusDir)
       sPrep.stop()
-      val deadlineNs = System.nanoTime() + budgetSec * 1000000000L
-      // primary pair: bandwidth-uncontended N→4N-node proxy (default 1→4);
-      // secondary pair: BASELINE.md's literal local[8]→local[32] protocol —
-      // both reported so the gate is judged on data, not a protocol choice
+      val t0 = System.nanoTime()
+      // secondary pair FIRST — BASELINE.md's literal local[8]→local[32]
+      // protocol is cheap (high parallelism both sides), so it gets a 25%
+      // budget slice up front and can never be starved by the expensive
+      // primary campaign (r3 lesson: 1→4 ran first and ate the whole
+      // budget, leaving no 8→32 block in the artifact)
       val nPrimary = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
-      val s14 = scalingEvidence(corpusDir, nTurns, nPrimary, deadlineNs, repLog)
       val s832 = if (nPrimary == 8) None
-                 else scalingEvidence(corpusDir, nTurns, 8, deadlineNs, repLog)
+                 else scalingEvidence(corpusDir, nTurns, 8,
+                   t0 + budgetSec * 250000000L, repLog)
+      // primary pair: bandwidth-uncontended N→4N-node proxy (default 1→4)
+      // gets everything left of the budget
+      val s14 = scalingEvidence(corpusDir, nTurns, nPrimary,
+        t0 + budgetSec * 1000000000L, repLog)
       val extras = new StringBuilder
       s14.foreach(r => extras ++= f""","efficiency_1to4":${r.eff}%.3f""")
       s832.foreach(r => extras ++= f""","efficiency_8to32":${r.eff}%.3f""")

@@ -756,6 +756,20 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // ——— F4 typed metadata probe: JSON-path attribute probe with
+    //     absent→null / malformed→null semantics (extract_numeric_tempo,
+    //     musicxml/tempo.py:284-311: ElementTree path probe returning None
+    //     when the attribute is missing or non-numeric). The turn text's
+    //     trailing segment is a semi-structured payload; `$.k` is probed
+    //     as a TYPED long, `$.m` exercises the absent path. ———
+    "q_meta_probe" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .withColumn("__payload", regexp_extract(col("text"), "^[a-z]+:\\d+:(.*)$", 1))
+        .select(col("conv_id"), col("turn_idx"),
+          get_json_object(col("__payload"), "$.k").cast("long").as("k_probe"),
+          get_json_object(col("__payload"), "$.m").cast("long").as("m_probe"))
+        .orderBy("conv_id", "turn_idx")),
+
     // ——— F8 label regex parsing: vendored-regex port shape
     //     (harmony/utils.py:719-754) over the turn text encoding ———
     "q_label_parse" -> ((s, dir) =>
@@ -1624,6 +1638,16 @@ object SparkEntry {
         |       round(coalesce(CAST(len_max AS DOUBLE), 0) +
         |             coalesce(CAST(len_min AS DOUBLE), 0), 6) AS len_extremes_sum
         |FROM m ORDER BY conv_id""".stripMargin),
+
+    "q_meta_probe" -> Oracle.withTurns(
+      """SELECT conv_id, turn_idx,
+        |  CASE WHEN json_valid(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1))
+        |       THEN CAST(json_extract_string(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1), '$.k') AS BIGINT)
+        |  END AS k_probe,
+        |  CASE WHEN json_valid(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1))
+        |       THEN CAST(json_extract_string(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1), '$.m') AS BIGINT)
+        |  END AS m_probe
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin),
 
     "q_label_parse" -> Oracle.withTurns(
       """SELECT conv_id, turn_idx,

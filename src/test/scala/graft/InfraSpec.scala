@@ -14,6 +14,20 @@ import java.nio.file.Files
 class InfraSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bench outlier rejection: min-anchored, noise-inflated pairs rejected") {
+    import Bench.ScalePair
+    // the r3 campaign that motivated the fix: rep 1's high side was 2.2x
+    // inflated but stayed under 2x of a median dragged up by later pairs
+    val r3 = Seq(
+      ScalePair(1, 129.2, 98.8), ScalePair(2, 151.2, 42.1),
+      ScalePair(3, 170.6, 44.5), ScalePair(4, 146.1, 56.3))
+    assert(Bench.cleanPairs(r3).map(_.rep) == Seq(2, 3, 4))
+    // physically-impossible efficiency (>1.05) is rejected even when fast
+    val fast = Seq(ScalePair(1, 100.0, 20.0), ScalePair(2, 100.0, 25.0))
+    assert(Bench.cleanPairs(fast).map(_.rep) == Seq(2))
+    assert(Bench.cleanPairs(Nil).isEmpty)
+  }
+
   test("datagen is deterministic across parallelism levels") {
     val a = TranscriptGen.turns(spark, 50).repartition(2)
       .orderBy("conv_id", "turn_idx").collect().toSeq
