@@ -257,7 +257,8 @@ object Bench {
     // — 2. scaling evidence: both protocol pairs, wall-budgeted —
     if (doScaling) {
       val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1080").toLong
-      val repLog = scala.collection.mutable.ArrayBuffer[String]()
+      val log832 = scala.collection.mutable.ArrayBuffer[String]()
+      val log14 = scala.collection.mutable.ArrayBuffer[String]()
       val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
       val sPrep = session(32)
       val nTurns = materializeCorpus(sPrep, scalingConvs, corpusDir)
@@ -274,11 +275,11 @@ object Bench {
       val nPrimary = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val s832 = if (nPrimary == 8) None
                  else scalingEvidence(corpusDir, nTurns, 8,
-                   t0 + budgetSec * 250000000L, repLog)
+                   t0 + budgetSec * 250000000L, log832)
       // primary pair: bandwidth-uncontended N→4N-node proxy (default 1→4)
       // gets everything left of the budget
       val s14 = scalingEvidence(corpusDir, nTurns, nPrimary,
-        t0 + budgetSec * 1000000000L, repLog)
+        t0 + budgetSec * 1000000000L, log14)
       val extras = new StringBuilder
       s14.foreach(r => extras ++= f""","efficiency_1to4":${r.eff}%.3f""")
       s832.foreach(r => extras ++= f""","efficiency_8to32":${r.eff}%.3f""")
@@ -288,9 +289,10 @@ object Bench {
         println(jsonLine(extras.toString))
         System.out.flush()
       }
-      (s14.toSeq ++ s832.toSeq).foreach { r =>
-        appendBenchRow(
-          f"| ${java.time.Instant.now()} (local[${r.nLow}]→local[${r.nLow * 4}]) | ${r.turns} | ${r.tpsLow}%.0f | ${r.tpsHigh}%.0f | ${r.eff}%.3f | ${r.clean}/${r.clean + r.rejected} | ${repLog.mkString("; ")} |")
+      (s14.map(_ -> log14).toSeq ++ s832.map(_ -> log832).toSeq).foreach {
+        case (r, log) =>
+          appendBenchRow(
+            f"| ${java.time.Instant.now()} (local[${r.nLow}]→local[${r.nLow * 4}]) | ${r.turns} | ${r.tpsLow}%.0f | ${r.tpsHigh}%.0f | ${r.eff}%.3f | ${r.clean}/${r.clean + r.rejected} | ${log.mkString("; ")} |")
       }
     }
   }
