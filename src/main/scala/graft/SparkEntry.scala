@@ -72,6 +72,17 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "state_val")
         .orderBy("conv_id", "turn_idx")),
 
+    // ——— J1 via the NATIVE physical operator: custom LogicalPlan +
+    //     SparkStrategy + AsOfMergeExec (plans/AsOfMerge.scala) — one
+    //     forward merge pass per co-partitioned (key, ts)-sorted partition,
+    //     O(1) state, left partitioning/ordering preserved. Same oracle as
+    //     q_asof_state: the two implementations must agree row-for-row. ———
+    "q_asof_exec" -> ((s, dir) =>
+      graft.plans.AsOfMerge.join(Tables.turns(s, dir), Tables.state(s, dir),
+          "conv_id", "ts", Seq("state_val"))
+        .select("conv_id", "turn_idx", "state_val")
+        .orderBy("conv_id", "turn_idx")),
+
     // ——— J1 as-of join, strictly-before (zero temporal leakage) ———
     "q_asof_strict" -> ((s, dir) =>
       AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
@@ -949,6 +960,12 @@ object SparkEntry {
         |FROM per GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_asof_state" -> Oracle.withTurnsAndState(
+      """SELECT t.conv_id, t.turn_idx, s.state_val
+        |FROM turns t ASOF LEFT JOIN state s
+        |  ON t.conv_id = s.conv_id AND t.ts >= s.ts
+        |ORDER BY t.conv_id, t.turn_idx""".stripMargin),
+
+    "q_asof_exec" -> Oracle.withTurnsAndState(
       """SELECT t.conv_id, t.turn_idx, s.state_val
         |FROM turns t ASOF LEFT JOIN state s
         |  ON t.conv_id = s.conv_id AND t.ts >= s.ts

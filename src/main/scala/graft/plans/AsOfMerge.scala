@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+
+/** Native Catalyst as-of join — custom-operator tier (c) of the SURVEY §2
+  * preference order: a whole-operator `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, for the one operator whose semantics the engine otherwise
+  * expresses by composition ([[graft.ops.AsOf]]'s union-and-window form).
+  *
+  * Why a physical operator at 100 TB: the union-window form pays one union
+  * exchange plus a window sort over turns+state TOGETHER; the fused exec
+  * co-partitions the two inputs on the key (`ClusteredDistribution` both
+  * sides — state shuffles into the turns partitioning), sorts each by
+  * `(key, ts)` IN ISOLATION, and then streams ONE forward merge pass per
+  * partition with O(1) state (the last state row seen per key) — no
+  * buffering of either side, no interleaved union rows through the sort,
+  * and the left side's ordering/partitioning survive unchanged
+  * (`outputPartitioning`/`outputOrdering` delegate to the left child), so
+  * a downstream `groupBy(key)` needs no further exchange.
+  *
+  * Semantics are exactly [[graft.ops.AsOf.join]] (spec-asserted equal and
+  * oracle-checked): latest state at-or-before (`strict=false`) or
+  * strictly-before (`strict=true`) the left timestamp; among equal-ts
+  * state rows the latest in sort order wins (latest state's NULL wins —
+  * the whole matched row is carried, never per-column last-non-null);
+  * `toleranceUs` bounds staleness measured from the MATCHED row.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKey: Attribute, leftTs: Attribute,
+                    rightKey: Attribute, rightTs: Attribute,
+                    valueAttrs: Seq[Attribute],
+                    strict: Boolean, toleranceUs: Option[Long])
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ valueAttrs.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfMergeExec]]. Registered per session via
+  * [[AsOfMerge.register]] (`spark.experimental.extraStrategies` — the
+  * public extension point; `SparkSessionExtensions.injectPlannerStrategy`
+  * is the equivalent hook when building the session yourself).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lts, rk, rts, vals, strict, tol) =>
+      AsOfMergeExec(planLater(l), planLater(r), lk, lts, rk, rts, vals, strict, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfMergeExec(left: SparkPlan, right: SparkPlan,
+                         leftKey: Attribute, leftTs: Attribute,
+                         rightKey: Attribute, rightTs: Attribute,
+                         valueAttrs: Seq[Attribute],
+                         strict: Boolean, toleranceUs: Option[Long])
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ valueAttrs.map(_.withNullability(true))
+
+  // co-partition by key: EnsureRequirements shuffles the (small) state side
+  // into the turns partitioning; a left side already hash-partitioned on
+  // the key passes through with NO exchange
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // in-partition sort by (key, ts) on each side INDEPENDENTLY — the merge
+  // needs only forward iteration
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  // one output row per left row, in left order: partitioning AND ordering
+  // survive — downstream per-key aggregation re-uses this exchange
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "rows with matched state"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val lOut = left.output
+    val rOut = right.output
+    val strictLocal = strict
+    val tolLocal = toleranceUs
+    val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lKeyE = BindReferences.bindReference[Expression](leftKey, lOut)
+      val lTsE = BindReferences.bindReference[Expression](leftTs, lOut)
+      val rKeyE = BindReferences.bindReference[Expression](rightKey, rOut)
+      val rTsE = BindReferences.bindReference[Expression](rightTs, rOut)
+      val valueProj = UnsafeProjection.create(valueAttrs.asInstanceOf[Seq[Expression]], rOut)
+      val outProj = UnsafeProjection.create(output.asInstanceOf[Seq[Expression]], lOut ++ valueAttrs)
+      val joiner = new JoinedRow
+      val nullVals = new GenericInternalRow(valueAttrs.length)
+
+      new Iterator[InternalRow] {
+        // the O(1) merge state: the next unconsumed right row (copied —
+        // sorter output rows are reused) and the latest state row taken
+        private var pending: InternalRow = fetch()
+        private var stateKey: Any = null
+        private var stateTs: Long = 0L
+        private var stateVals: InternalRow = null
+
+        private def fetch(): InternalRow = {
+          // skip right rows with null key/ts — they can never match
+          while (rIt.hasNext) {
+            val row = rIt.next()
+            if (rKeyE.eval(row) != null && rTsE.eval(row) != null) return row.copy()
+          }
+          null
+        }
+
+        /** Consume right rows up to the left position (key, ts). */
+        private def advance(lk: Any, lt: Long): Unit = {
+          var go = true
+          while (go && pending != null) {
+            val pk = rKeyE.eval(pending)
+            val cmp = keyOrdering.compare(pk, lk)
+            val visible = cmp < 0 || (cmp == 0 && {
+              val pt = rTsE.eval(pending).asInstanceOf[Long]
+              if (strictLocal) pt < lt else pt <= lt
+            })
+            if (visible) {
+              if (cmp == 0) { // belongs to the current key: latest wins
+                stateKey = pk
+                stateTs = rTsE.eval(pending).asInstanceOf[Long]
+                stateVals = valueProj(pending).copy()
+              }
+              pending = fetch()
+            } else go = false
+          }
+        }
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIt.next()
+          val lk = lKeyE.eval(lRow)
+          val ltAny = lTsE.eval(lRow)
+          var vals: InternalRow = nullVals
+          if (lk != null && ltAny != null) {
+            val lt = ltAny.asInstanceOf[Long]
+            advance(lk, lt)
+            if (stateVals != null && stateKey != null &&
+                keyOrdering.compare(stateKey, lk) == 0 &&
+                tolLocal.forall(t => lt - stateTs <= t)) {
+              vals = stateVals
+              numMatched += 1
+            }
+          }
+          numOutputRows += 1
+          outProj(joiner(lRow, vals))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry: build the logical node from analyzed children and
+  * register the planner strategy on the session (idempotent).
+  */
+object AsOfMerge {
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val exp = org.apache.spark.sql.graft.Bridge.experimental(spark)
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** Same contract as [[graft.ops.AsOf.join]], planned through
+    * [[AsOfMergeExec]]. `left` keeps all its columns; `right` contributes
+    * `valueCols` (null when no state is visible).
+    */
+  def join(left: DataFrame, right: DataFrame,
+           key: String, ts: String, valueCols: Seq[String],
+           strict: Boolean = false, toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    require(valueCols.forall(!left.columns.contains(_)),
+      s"left already contains one of $valueCols")
+    register(left.sparkSession)
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(right.select((Seq(key, ts) ++ valueCols).map(col): _*))
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val node = AsOfJoin(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, key), attr(rPlan, ts),
+      valueCols.map(attr(rPlan, _)),
+      strict, toleranceUs)
+    Bridge.ofRows(left.sparkSession, node)
+  }
+}

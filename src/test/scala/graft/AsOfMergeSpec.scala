@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.AsOf
+import graft.plans.{AsOfMerge, AsOfMergeExec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native AsOfMergeExec physical operator must be row-identical to the
+  * Catalyst-composed union-window form (graft.ops.AsOf) in every mode, at
+  * any input partitioning, and must actually appear in the physical plan.
+  */
+class AsOfMergeSpec extends SparkSpec {
+
+  private lazy val turns = graft.datagen.TranscriptGen.turns(spark, 40, skewEvery = 13)
+  private lazy val state = graft.datagen.TranscriptGen.state(spark, 40)
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(col("conv_id"), col("turn_idx"), col("state_val"))
+      .orderBy("conv_id", "turn_idx")
+      .collect().map(_.mkString("|")).toSeq
+
+  test("exec == union-window form: at-or-before, strict, tolerance") {
+    val tol = Some(48L * 3600 * 1000000)
+    val cases = Seq(
+      (AsOf.AtOrBefore, false, None),
+      (AsOf.StrictlyBefore, true, None),
+      (AsOf.AtOrBefore, false, tol))
+    for ((sem, strict, t) <- cases) {
+      val reference = canon(AsOf.join(turns, state, "conv_id", "ts", Seq("state_val"), sem, t))
+      val native = canon(AsOfMerge.join(turns, state, "conv_id", "ts", Seq("state_val"), strict, t))
+      assert(native == reference, s"mode=$sem strict=$strict tol=$t diverged")
+    }
+  }
+
+  test("exec is repartition-invariant (co-partitioning inserted by planner)") {
+    val reference = canon(AsOf.join(turns, state, "conv_id", "ts", Seq("state_val")))
+    val shuffled = AsOfMerge.join(
+      turns.repartition(7, col("turn_idx")),
+      state.repartition(3),
+      "conv_id", "ts", Seq("state_val"))
+    assert(canon(shuffled) == reference)
+  }
+
+  test("AsOfMergeExec appears in the physical plan; left keeps all columns") {
+    val joined = AsOfMerge.join(turns, state, "conv_id", "ts", Seq("state_val"))
+    val plan = joined.queryExecution.executedPlan
+    // AdaptiveSparkPlanExec wraps the real plan as a leaf, so collect()
+    // can't see inside; the tree string renders it (Spark strips the
+    // "Exec" suffix from physical node names)
+    assert(plan.toString.contains("AsOfMerge"), s"no AsOfMergeExec in:\n$plan")
+    assert(joined.columns.toSeq == turns.columns.toSeq :+ "state_val")
+    // left columns and row count are preserved exactly (one output row per
+    // left row — it is a join that can never duplicate or drop)
+    assert(joined.count() == turns.count())
+  }
+
+  test("null-key left rows get null state, never a match") {
+    import spark.implicits._
+    val l = Seq(("a", 0, "2020-01-01 00:00:05"), (null, 1, "2020-01-01 00:00:05"))
+      .toDF("conv_id", "turn_idx", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val r = Seq(("a", "2020-01-01 00:00:01", "s1"))
+      .toDF("conv_id", "ts", "state_val")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val got = AsOfMerge.join(l, r, "conv_id", "ts", Seq("state_val"))
+      .orderBy("turn_idx")
+      .select("state_val").as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("s1"), None))
+  }
+}
