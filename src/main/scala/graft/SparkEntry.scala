@@ -592,8 +592,19 @@ object SparkEntry {
       val seed = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"),
           transform(col("embedding"), x => x.cast("double")).as("cv"))
+      // CODEBOOK-sized collect (16 rows × dim doubles — bounded by k, not
+      // by data): each Lloyd iteration is then ONE corpus pass against a
+      // literal broadcast codebook. Without pinning, the lazy lineage
+      // re-executes every prior iteration at each reference (measured: 20
+      // parquet scans in the plan vs 1-per-iteration pinned). Driver-side
+      // codebook exchange between iterations is the standard shape for
+      // distributed k-means at any scale.
+      def pinCodebook(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+      }
       val cents = (1 to 3).foldLeft(seed) { (c, _) =>
-        e.crossJoin(broadcast(c))
+        pinCodebook(e.crossJoin(broadcast(c))
           .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
           .withColumn("r", row_number().over(
             Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
@@ -602,7 +613,7 @@ object SparkEntry {
           .groupBy("cent_id", "pos").agg(avg(col("v").cast("double")).as("m"))
           .groupBy("cent_id")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => round(x.getField("m"), 6)).as("cv"))
+            x => round(x.getField("m"), 6)).as("cv")))
       }
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
