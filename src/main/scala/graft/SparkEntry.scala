@@ -83,6 +83,21 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "state_val")
         .orderBy("conv_id", "turn_idx")),
 
+    // ——— the native operator's other two modes, against the same oracles
+    //     as the union-window forms (all three semantics oracle-checked) ———
+    "q_asof_exec_strict" -> ((s, dir) =>
+      graft.plans.AsOfMerge.join(Tables.turns(s, dir), Tables.state(s, dir),
+          "conv_id", "ts", Seq("state_val"), strict = true)
+        .select("conv_id", "turn_idx", "state_val")
+        .orderBy("conv_id", "turn_idx")),
+
+    "q_asof_exec_tolerance" -> ((s, dir) =>
+      graft.plans.AsOfMerge.join(Tables.turns(s, dir), Tables.state(s, dir),
+          "conv_id", "ts", Seq("state_val"),
+          toleranceUs = Some(48L * 3600 * 1000000))
+        .select("conv_id", "turn_idx", "state_val")
+        .orderBy("conv_id", "turn_idx")),
+
     // ——— J1 as-of join, strictly-before (zero temporal leakage) ———
     "q_asof_strict" -> ((s, dir) =>
       AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
@@ -981,6 +996,29 @@ object SparkEntry {
         |FROM turns t ASOF LEFT JOIN state s
         |  ON t.conv_id = s.conv_id AND t.ts >= s.ts
         |ORDER BY t.conv_id, t.turn_idx""".stripMargin),
+
+    "q_asof_exec_strict" -> Oracle.withTurnsAndState(
+      """SELECT t.conv_id, t.turn_idx, s.state_val
+        |FROM turns t ASOF LEFT JOIN state s
+        |  ON t.conv_id = s.conv_id AND t.ts > s.ts
+        |ORDER BY t.conv_id, t.turn_idx""".stripMargin),
+
+    "q_asof_exec_tolerance" -> Oracle.withTurnsAndState(
+      """, u AS (
+        |  SELECT conv_id, ts, turn_idx, CAST(NULL AS VARCHAR) AS sv, 0 AS is_state FROM turns
+        |  UNION ALL
+        |  SELECT conv_id, ts, NULL, state_val, 1 FROM state
+        |), f AS (
+        |  SELECT conv_id, ts, turn_idx, is_state,
+        |    last_value(CASE WHEN is_state = 1 THEN {'sts': ts, 'sval': sv} END IGNORE NULLS)
+        |      OVER w AS st
+        |  FROM u WINDOW w AS (PARTITION BY conv_id ORDER BY ts, is_state DESC
+        |                      ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT conv_id, turn_idx,
+        |  CASE WHEN epoch_us(ts) - epoch_us(st.sts) <= 172800000000
+        |       THEN st.sval END AS state_val
+        |FROM f WHERE is_state = 0 ORDER BY conv_id, turn_idx""".stripMargin),
 
     "q_asof_strict" -> Oracle.withTurnsAndState(
       """SELECT t.conv_id, t.turn_idx, s.state_val

@@ -65,6 +65,28 @@ object AsOfProperties extends Properties("asof") {
       a == b
     }
 
+  property("native AsOfMergeExec ≡ union-window form on random micro-tables, all modes") =
+    Prop.forAll(genTable) { case (turnTs, stateTs) =>
+      import spark.implicits._
+      val turns = turnTs.sorted.zipWithIndex
+        .map { case (t, i) => ("c", i, ts(t)) }.toDF("conv_id", "turn_idx", "ts")
+      // distinct state ts so the chosen value is uniquely determined
+      val state = stateTs.distinct.zipWithIndex
+        .map { case (t, _) => ("c", ts(t), s"s$t") }.toDF("conv_id", "ts", "state_val")
+      Seq((AsOf.AtOrBefore, false, None),
+          (AsOf.StrictlyBefore, true, None),
+          (AsOf.AtOrBefore, false, Some(100L * 1000000))).forall {
+        case (sem, strict, tol) =>
+          val reference = AsOf.join(turns, state, "conv_id", "ts", Seq("state_val"), sem, tol)
+            .orderBy("turn_idx").collect().toSeq
+          val native = graft.plans.AsOfMerge.join(
+              turns.repartition(3), state.repartition(2),
+              "conv_id", "ts", Seq("state_val"), strict, tol)
+            .orderBy("turn_idx").collect().toSeq
+          native == reference
+      }
+    }
+
   property("blocked boundary-carry sessionize ≡ single-window sessionize, any block size") =
     Prop.forAll(
       Gen.listOfN(20, Gen.choose(1L, 200L)),
