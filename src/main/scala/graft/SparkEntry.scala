@@ -359,6 +359,40 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ——— embedding-cosine near-dup pairs: banded sign-plane candidates +
+    //     exact cosine verify. Same scale architecture as the MinHash/
+    //     SimHash near-dup paths: the 16-plane signature is banded 4×4,
+    //     candidates are bucket-grouped per band (never an all-pairs
+    //     join), and the verify resolves both pair sides in ONE corpus
+    //     scan. Recall is the multi-table sign-LSH curve (≥1-of-4 bands:
+    //     ~0.99 at cos 0.95, the production near-dup regime); the fixture
+    //     embeddings are random (max pairwise cos ≈ 0.51), so the demo
+    //     threshold is 0.4 — the plan is identical at any threshold. ———
+    "q_neardup_cosine" -> ((s, dir) => {
+      import graft.functions.VectorFns._
+      import graft.functions.TextFns.hashBands
+      val e = Tables.embeddings(s, dir)
+      val banded = hashBands(
+        e.withColumn("sig", signPlanes(col("embedding"), 16, 64)), "sig", 16, 4)
+        .select(col("vec_id"), col("band_idx"), col("band_val"))
+      val buckets = banded.groupBy("band_idx", "band_val")
+        .agg(collect_list(col("vec_id")).as("vs"))
+        .filter(size(col("vs")) > 1)
+      val cand = buckets.select(explode(col("vs")).as("va"), col("vs"))
+        .select(col("va"), explode(filter(col("vs"), v => v > col("va"))).as("vb"))
+        .distinct()
+      val wanted = cand.select(col("va").as("vec_id"), col("va"), col("vb"))
+        .unionByName(cand.select(col("vb").as("vec_id"), col("va"), col("vb")))
+      e.join(wanted, Seq("vec_id"))
+        .groupBy("va", "vb")
+        .agg(
+          first(when(col("vec_id") === col("va"), col("embedding")), ignoreNulls = true).as("ea"),
+          first(when(col("vec_id") === col("vb"), col("embedding")), ignoreNulls = true).as("eb"))
+        .select(col("va"), col("vb"), round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy("va", "vb")
+    }),
+
     // ——— MinHash-LSH near-dup dedup: banded candidates + exact verify ———
     // The scale path: k=8 minhashes, 2 bands of 4 → candidate pairs share a
     // full band within the same `source` (per-domain dedup, the standard
@@ -1259,6 +1293,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
         |  FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    "q_neardup_cosine" -> (
+      s"""WITH planes AS (
+        |  SELECT p.p, d.d,
+        |    (('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT % 2001) - 1000 AS w
+        |  FROM (SELECT unnest(range(0, 16)) AS p) p,
+        |       (SELECT unnest(range(1, 65)) AS d) d),
+        |dots AS (
+        |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d]::DOUBLE * pl.w) AS dot
+        |  FROM embeddings e, planes pl GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS s
+        |  FROM dots GROUP BY 1),
+        |bands AS (
+        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 4)) & 15 AS band_val
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |       AND a.vec_id < b.vec_id),
+        |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT va, vb, cos_sim FROM (
+        |  SELECT c.va, c.vb, round(${duckCos("x.emb", "y.emb")}, 6) AS cos_sim
+        |  FROM cand c JOIN e2 x ON x.vec_id = c.va JOIN e2 y ON y.vec_id = c.vb)
+        |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin),
 
     "q_neardup_lsh" -> (
       """WITH toks AS (
