@@ -361,19 +361,24 @@ object SparkEntry {
 
     // ——— embedding-cosine near-dup pairs: banded sign-plane candidates +
     //     exact cosine verify. Same scale architecture as the MinHash/
-    //     SimHash near-dup paths: the 16-plane signature is banded 4×4,
+    //     SimHash near-dup paths: a 32-plane signature banded 4×8 bits,
     //     candidates are bucket-grouped per band (never an all-pairs
     //     join), and the verify resolves both pair sides in ONE corpus
-    //     scan. Recall is the multi-table sign-LSH curve (≥1-of-4 bands:
-    //     ~0.99 at cos 0.95, the production near-dup regime); the fixture
-    //     embeddings are random (max pairwise cos ≈ 0.51), so the demo
-    //     threshold is 0.4 — the plan is identical at any threshold. ———
+    //     scan. Band WIDTH is the selectivity knob: 8-bit bands give 256
+    //     buckets per band, so candidate cost is Σ|bucket|² ≈ n²/128 per
+    //     band instead of the n²/8 a 4-bit banding costs (measured 6.5s →
+    //     the fix at sf0.1). Recall is the multi-table sign-LSH curve
+    //     (≥1-of-4 8-bit bands ≈ 0.90 at cos 0.95, the production
+    //     near-dup regime); the fixture embeddings are random (max
+    //     pairwise cos ≈ 0.51), so the demo threshold is 0.4, where the
+    //     same curve gives ~0.10 — the oracle replicates the banding, so
+    //     the approximate contract is hash-checked exactly. ———
     "q_neardup_cosine" -> ((s, dir) => {
       import graft.functions.VectorFns._
       import graft.functions.TextFns.hashBands
       val e = Tables.embeddings(s, dir)
       val banded = hashBands(
-        e.withColumn("sig", signPlanes(col("embedding"), 16, 64)), "sig", 16, 4)
+        e.withColumn("sig", signPlanes(col("embedding"), 32, 64)), "sig", 32, 4)
         .select(col("vec_id"), col("band_idx"), col("band_val"))
       val buckets = banded.groupBy("band_idx", "band_val")
         .agg(collect_list(col("vec_id")).as("vs"))
@@ -1298,7 +1303,7 @@ object SparkEntry {
       s"""WITH planes AS (
         |  SELECT p.p, d.d,
         |    (('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT % 2001) - 1000 AS w
-        |  FROM (SELECT unnest(range(0, 16)) AS p) p,
+        |  FROM (SELECT unnest(range(0, 32)) AS p) p,
         |       (SELECT unnest(range(1, 65)) AS d) d),
         |dots AS (
         |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d]::DOUBLE * pl.w) AS dot
@@ -1308,7 +1313,7 @@ object SparkEntry {
         |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS s
         |  FROM dots GROUP BY 1),
         |bands AS (
-        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 4)) & 15 AS band_val
+        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 8)) & 255 AS band_val
         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
