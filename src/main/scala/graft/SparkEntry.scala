@@ -327,21 +327,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
-    // ——— LSH-banded ANN: 16 random hyperplanes, 4 bands of 4 bits ———
+    // ——— LSH-banded ANN: 32 random hyperplanes, 4 bands of 8 bits ———
     // The scale path for sign-plane LSH (r2 gap: 4 axis-aligned planes =
-    // 16 buckets, toy recall/selectivity): a 16-bit random-plane signature
+    // 16 buckets, toy recall/selectivity): a 32-bit random-plane signature
     // (each bit one codegen'd dot product against a deterministic integer
     // plane), BANDED like the MinHash/SimHash near-dup paths — candidates
     // are the union of 4 per-band equi-join buckets (multi-table LSH:
-    // recall from band count, selectivity from band width), never an
-    // all-pairs comparison. Queries are broadcast; the corpus side is one
-    // scan + one band fan-out.
+    // recall from band count, selectivity from band WIDTH — 8-bit bands
+    // mean a query probes ~n/256 of the corpus per band, not n/16), never
+    // an all-pairs comparison. Queries are broadcast; the corpus side is
+    // one scan + one band fan-out.
     "q_knn_lsh" -> ((s, dir) => {
       import graft.functions.VectorFns._
       import graft.functions.TextFns.hashBands
       val e = Tables.embeddings(s, dir)
       val banded = hashBands(
-        e.withColumn("sig", signPlanes(col("embedding"), 16, 64)), "sig", 16, 4)
+        e.withColumn("sig", signPlanes(col("embedding"), 32, 64)), "sig", 32, 4)
         .select(col("vec_id"), col("band_idx"), col("band_val"))
       val qb = banded.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
       val cand = broadcast(qb).join(banded, Seq("band_idx", "band_val"))
@@ -1270,7 +1271,7 @@ object SparkEntry {
       s"""WITH planes AS (
         |  SELECT p.p, d.d,
         |    (('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT % 2001) - 1000 AS w
-        |  FROM (SELECT unnest(range(0, 16)) AS p) p,
+        |  FROM (SELECT unnest(range(0, 32)) AS p) p,
         |       (SELECT unnest(range(1, 65)) AS d) d),
         |dots AS (
         |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d]::DOUBLE * pl.w) AS dot
@@ -1280,7 +1281,7 @@ object SparkEntry {
         |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS s
         |  FROM dots GROUP BY 1),
         |bands AS (
-        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 4)) & 15 AS band_val
+        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 8)) & 255 AS band_val
         |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nbr
