@@ -94,20 +94,32 @@ case class AsOfMergeExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
+    // hoist everything the per-partition closure needs into locals: a
+    // field reference inside the lambda would capture `this` and ship the
+    // whole plan tree with every task
     val lOut = left.output
     val rOut = right.output
+    val lKeyAttr = leftKey; val lTsAttr = leftTs
+    val rKeyAttr = rightKey; val rTsAttr = rightTs
+    // value columns are nullable in the OUTPUT even if non-nullable on the
+    // right (unmatched rows emit nulls) — the projection's input schema
+    // must agree, or codegen elides the null check and reads garbage from
+    // the all-null row
+    val nullableVals = valueAttrs.map(_.withNullability(true))
+    val valsLocal = valueAttrs
+    val outAttrs = output
     val strictLocal = strict
     val tolLocal = toleranceUs
     val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
-      val lKeyE = BindReferences.bindReference[Expression](leftKey, lOut)
-      val lTsE = BindReferences.bindReference[Expression](leftTs, lOut)
-      val rKeyE = BindReferences.bindReference[Expression](rightKey, rOut)
-      val rTsE = BindReferences.bindReference[Expression](rightTs, rOut)
-      val valueProj = UnsafeProjection.create(valueAttrs.asInstanceOf[Seq[Expression]], rOut)
-      val outProj = UnsafeProjection.create(output.asInstanceOf[Seq[Expression]], lOut ++ valueAttrs)
+      val lKeyE = BindReferences.bindReference[Expression](lKeyAttr, lOut)
+      val lTsE = BindReferences.bindReference[Expression](lTsAttr, lOut)
+      val rKeyE = BindReferences.bindReference[Expression](rKeyAttr, rOut)
+      val rTsE = BindReferences.bindReference[Expression](rTsAttr, rOut)
+      val valueProj = UnsafeProjection.create(valsLocal.asInstanceOf[Seq[Expression]], rOut)
+      val outProj = UnsafeProjection.create(outAttrs.asInstanceOf[Seq[Expression]], lOut ++ nullableVals)
       val joiner = new JoinedRow
-      val nullVals = new GenericInternalRow(valueAttrs.length)
+      val nullVals = new GenericInternalRow(valsLocal.length)
 
       new Iterator[InternalRow] {
         // the O(1) merge state: the next unconsumed right row (copied —
