@@ -20,7 +20,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     bandwidth-uncontended N→4N-node proxy) AND local[8]→local[32]
   *     (BASELINE.md's literal sandbox pair) — run as back-to-back pairs
   *     with outlier rejection, bounded by a wall-clock budget
-  *     (`SPARK_GRAFT_SCALE_BUDGET_SEC`, default 900s across both pairs)
+  *     (`SPARK_GRAFT_SCALE_BUDGET_SEC`, default 1080s across both pairs)
   *     that stops cleanly and reports clean-pairs-so-far. Appends rows into
   *     BENCH.md's table (at the `<!-- bench-rows -->` marker). Skipped when
   *     SPARK_GRAFT_SCALING=0.
@@ -98,24 +98,26 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
-  /** Outlier rejection. Anchor = the per-side MINIMUM, not the median
-    * (r3 lesson: a 2.2×-inflated pair stayed "clean" because later slow
-    * pairs dragged the median up until the outlier fit back under 2×
-    * median). Wall time on identical work is true-cost + ambient noise,
-    * and noise only ever ADDS time — so the per-side min is a robust
-    * estimate of true cost, and a pair is CLEAN iff both sides are within
-    * 1.6× of their side's min AND the implied efficiency is physically
-    * plausible (0 < eff ≤ 1.05 — N→4N on identical work cannot beat 1.0;
-    * 5% grace for residual noise). 1.6 chosen from the observed clean
-    * spread across the r2 campaign (≤ 1.5× within-side).
+  /** Outlier rejection. Anchor = the per-side MINIMUM over the
+    * efficiency-PLAUSIBLE pairs, not the median (r3 lesson: a
+    * 2.2×-inflated pair stayed "clean" because later slow pairs dragged
+    * the median up until the outlier fit back under 2× median). Wall time
+    * on identical work is true-cost + ambient noise, and noise only ever
+    * ADDS time — so the per-side min is a robust estimate of true cost.
+    * The anchor pool excludes implausible pairs first (0 < eff ≤ 1.05 —
+    * N→4N on identical work cannot beat 1.0; 5% grace): an implausible
+    * pair is by definition mismeasured, and letting its fluke-fast side
+    * set the anchor would reject every legitimate pair. A pair is CLEAN
+    * iff it is plausible AND both sides are within 1.6× of their side's
+    * anchored min (1.6 chosen from the observed clean spread across the
+    * r2 campaign, ≤ 1.5× within-side).
     */
   def cleanPairs(ps: Seq[ScalePair]): Seq[ScalePair] = {
-    if (ps.isEmpty) return Nil
-    val minLow = ps.map(_.tLow).min
-    val minHigh = ps.map(_.tHigh).min
-    ps.filter(p =>
-      p.tLow <= 1.6 * minLow && p.tHigh <= 1.6 * minHigh &&
-        p.eff > 0 && p.eff <= 1.05)
+    val plausible = ps.filter(p => p.eff > 0 && p.eff <= 1.05)
+    if (plausible.isEmpty) return Nil
+    val minLow = plausible.map(_.tLow).min
+    val minHigh = plausible.map(_.tHigh).min
+    plausible.filter(p => p.tLow <= 1.6 * minLow && p.tHigh <= 1.6 * minHigh)
   }
 
   /** North-rule N→4N evidence protocol (no real cluster in sandbox):
@@ -281,7 +283,11 @@ object Bench {
       val s14 = scalingEvidence(corpusDir, nTurns, nPrimary,
         t0 + budgetSec * 1000000000L, log14)
       val extras = new StringBuilder
-      s14.foreach(r => extras ++= f""","efficiency_1to4":${r.eff}%.3f""")
+      // key named from the measured pair (default SCALE_N=1 → the
+      // documented "efficiency_1to4"; an override must not masquerade as
+      // the 1→4 protocol number)
+      s14.foreach(r =>
+        extras ++= f""","efficiency_${r.nLow}to${r.nLow * 4}":${r.eff}%.3f""")
       s832.foreach(r => extras ++= f""","efficiency_8to32":${r.eff}%.3f""")
       s14.foreach(r => extras ++= s""","scaling":${r.json}""")
       s832.foreach(r => extras ++= s""","scaling_8to32":${r.json}""")

@@ -339,11 +339,8 @@ object SparkEntry {
     // one scan + one band fan-out.
     "q_knn_lsh" -> ((s, dir) => {
       import graft.functions.VectorFns._
-      import graft.functions.TextFns.hashBands
       val e = Tables.embeddings(s, dir)
-      val banded = hashBands(
-        e.withColumn("sig", signPlanes(col("embedding"), 32, 64)), "sig", 32, 4)
-        .select(col("vec_id"), col("band_idx"), col("band_val"))
+      val banded = bandedSignature(e)
       val qb = banded.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
       val cand = broadcast(qb).join(banded, Seq("band_idx", "band_val"))
         .filter(col("qid") =!= col("vec_id"))
@@ -376,11 +373,8 @@ object SparkEntry {
     //     the approximate contract is hash-checked exactly. ———
     "q_neardup_cosine" -> ((s, dir) => {
       import graft.functions.VectorFns._
-      import graft.functions.TextFns.hashBands
       val e = Tables.embeddings(s, dir)
-      val banded = hashBands(
-        e.withColumn("sig", signPlanes(col("embedding"), 32, 64)), "sig", 32, 4)
-        .select(col("vec_id"), col("band_idx"), col("band_val"))
+      val banded = bandedSignature(e)
       val buckets = banded.groupBy("band_idx", "band_val")
         .agg(collect_list(col("vec_id")).as("vs"))
         .filter(size(col("vs")) > 1)
@@ -843,8 +837,10 @@ object SparkEntry {
       Tables.turns(s, dir)
         .withColumn("__payload", regexp_extract(col("text"), "^[a-z]+:\\d+:(.*)$", 1))
         .select(col("conv_id"), col("turn_idx"),
-          get_json_object(col("__payload"), "$.k").cast("long").as("k_probe"),
-          get_json_object(col("__payload"), "$.m").cast("long").as("m_probe"))
+          // try_cast, not cast: ANSI mode (Spark 4 default) would throw on
+          // a non-numeric attribute instead of the promised NULL
+          get_json_object(col("__payload"), "$.k").try_cast("long").as("k_probe"),
+          get_json_object(col("__payload"), "$.m").try_cast("long").as("m_probe"))
         .orderBy("conv_id", "turn_idx")),
 
     // ——— F8 label regex parsing: vendored-regex port shape
@@ -955,6 +951,30 @@ object SparkEntry {
     s"list_sum(list_apply(list_zip($a, $b), t -> t[1] * t[2]))" +
       s" / (sqrt(list_sum(list_apply($a, x -> x * x)))" +
       s" * sqrt(list_sum(list_apply($b, x -> x * x))))"
+
+  /** Oracle twin of `VectorFns.bandedSignature` (32 md5-derived integer
+    * planes, 4 bands × 8 bits): CTEs `planes`/`dots`/`sig`/`bands` over
+    * the `embeddings` view. One definition for both LSH paths.
+    */
+  private def duckBandsCte(nPlanes: Int = 32, nBands: Int = 4): String = {
+    val width = nPlanes / nBands
+    val mask = (1 << width) - 1
+    s"""planes AS (
+       |  SELECT p.p, d.d,
+       |    (('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT % 2001) - 1000 AS w
+       |  FROM (SELECT unnest(range(0, $nPlanes)) AS p) p,
+       |       (SELECT unnest(range(1, 65)) AS d) d),
+       |dots AS (
+       |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d]::DOUBLE * pl.w) AS dot
+       |  FROM embeddings e, planes pl GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS s
+       |  FROM dots GROUP BY 1),
+       |bands AS (
+       |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * $width)) & $mask AS band_val
+       |  FROM sig, (SELECT unnest(range(0, $nBands)) AS b) b)""".stripMargin
+  }
 
   /** One unrolled Lloyd iteration for the q_knn_ivf oracle: assign every
     * vector to its argmax-rounded-cosine centroid from `c{i-1}`, then
@@ -1268,21 +1288,7 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     "q_knn_lsh" -> (
-      s"""WITH planes AS (
-        |  SELECT p.p, d.d,
-        |    (('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT % 2001) - 1000 AS w
-        |  FROM (SELECT unnest(range(0, 32)) AS p) p,
-        |       (SELECT unnest(range(1, 65)) AS d) d),
-        |dots AS (
-        |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d]::DOUBLE * pl.w) AS dot
-        |  FROM embeddings e, planes pl GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT vec_id,
-        |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS s
-        |  FROM dots GROUP BY 1),
-        |bands AS (
-        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 8)) & 255 AS band_val
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+      s"""WITH ${duckBandsCte()},
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nbr
         |  FROM bands q JOIN bands e
@@ -1301,21 +1307,7 @@ object SparkEntry {
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     "q_neardup_cosine" -> (
-      s"""WITH planes AS (
-        |  SELECT p.p, d.d,
-        |    (('0x' || substr(md5(p.p || ':' || d.d), 1, 15))::BIGINT % 2001) - 1000 AS w
-        |  FROM (SELECT unnest(range(0, 32)) AS p) p,
-        |       (SELECT unnest(range(1, 65)) AS d) d),
-        |dots AS (
-        |  SELECT e.vec_id, pl.p, sum(e.embedding[pl.d]::DOUBLE * pl.w) AS dot
-        |  FROM embeddings e, planes pl GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT vec_id,
-        |    sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS s
-        |  FROM dots GROUP BY 1),
-        |bands AS (
-        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * 8)) & 255 AS band_val
-        |  FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+      s"""WITH ${duckBandsCte()},
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
         |  FROM bands a JOIN bands b
@@ -1775,10 +1767,10 @@ object SparkEntry {
     "q_meta_probe" -> Oracle.withTurns(
       """SELECT conv_id, turn_idx,
         |  CASE WHEN json_valid(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1))
-        |       THEN CAST(json_extract_string(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1), '$.k') AS BIGINT)
+        |       THEN TRY_CAST(json_extract_string(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1), '$.k') AS BIGINT)
         |  END AS k_probe,
         |  CASE WHEN json_valid(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1))
-        |       THEN CAST(json_extract_string(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1), '$.m') AS BIGINT)
+        |       THEN TRY_CAST(json_extract_string(regexp_extract(text, '^[a-z]+:\d+:(.*)$', 1), '$.m') AS BIGINT)
         |  END AS m_probe
         |FROM turns ORDER BY conv_id, turn_idx""".stripMargin),
 

@@ -68,4 +68,20 @@ object VectorFns {
       val w = typedLit((1 to dim).map(d => planeWeight(p, d)))
       when(dot(v, w) > 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** The shared sign-LSH index shape (q_knn_lsh, q_neardup_cosine): a
+    * 32-plane signature banded 4×8 bits → (id, band_idx, band_val) rows.
+    * Band WIDTH is the selectivity knob (8 bits = 256 buckets per band,
+    * candidate cost Σ|bucket|² ≈ n²/128 per band); band COUNT is the
+    * recall knob (≥1-of-4 8-bit bands ≈ 0.90 at cos 0.95). One definition
+    * so the two LSH paths can never desynchronize; its oracle twin is
+    * `SparkEntry.duckBandsCte`.
+    */
+  def bandedSignature(e: org.apache.spark.sql.DataFrame,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      nPlanes: Int = 32, dim: Int = 64, nBands: Int = 4)
+      : org.apache.spark.sql.DataFrame =
+    TextFns.hashBands(
+      e.withColumn("sig", signPlanes(col(embCol), nPlanes, dim)), "sig", nPlanes, nBands)
+      .select(col(idCol), col("band_idx"), col("band_val"))
 }

@@ -110,7 +110,15 @@ case class AsOfMergeExec(left: SparkPlan, right: SparkPlan,
     val outAttrs = output
     val strictLocal = strict
     val tolLocal = toleranceUs
-    val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    // null-safe, NULLS FIRST (matching SortOrder Ascending's default and
+    // the union-window form, where Window.partitionBy groups NULL keys
+    // into their own partition and null timestamps sort first)
+    val typeOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val keyOrdering: Ordering[Any] = (a: Any, b: Any) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else typeOrdering.compare(a, b)
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyE = BindReferences.bindReference[Expression](lKeyAttr, lOut)
       val lTsE = BindReferences.bindReference[Expression](lTsAttr, lOut)
@@ -123,19 +131,26 @@ case class AsOfMergeExec(left: SparkPlan, right: SparkPlan,
 
       new Iterator[InternalRow] {
         // the O(1) merge state: the next unconsumed right row (copied —
-        // sorter output rows are reused) and the latest state row taken
+        // sorter output rows are reused) and the latest state row taken.
+        // NULL handling mirrors the union-window form exactly (and the
+        // sorted input order: NULLS FIRST): a NULL key is its own group; a
+        // NULL timestamp sorts before every real timestamp (sentinel
+        // Long.MinValue), is visible to at-or-before (a null-ts state row
+        // is "infinitely old"), invisible under strictly-before at the
+        // shared sentinel, and never passes a staleness tolerance.
         private var pending: InternalRow = fetch()
+        private var hasState: Boolean = false
         private var stateKey: Any = null
         private var stateTs: Long = 0L
+        private var stateTsNull: Boolean = false
         private var stateVals: InternalRow = null
 
-        private def fetch(): InternalRow = {
-          // skip right rows with null key/ts — they can never match
-          while (rIt.hasNext) {
-            val row = rIt.next()
-            if (rKeyE.eval(row) != null && rTsE.eval(row) != null) return row.copy()
-          }
-          null
+        private def fetch(): InternalRow =
+          if (rIt.hasNext) rIt.next().copy() else null
+
+        private def tsOf(e: Expression, row: InternalRow): (Long, Boolean) = {
+          val v = e.eval(row)
+          if (v == null) (Long.MinValue, true) else (v.asInstanceOf[Long], false)
         }
 
         /** Consume right rows up to the left position (key, ts). */
@@ -144,14 +159,16 @@ case class AsOfMergeExec(left: SparkPlan, right: SparkPlan,
           while (go && pending != null) {
             val pk = rKeyE.eval(pending)
             val cmp = keyOrdering.compare(pk, lk)
+            val (pt, ptNull) = tsOf(rTsE, pending)
             val visible = cmp < 0 || (cmp == 0 && {
-              val pt = rTsE.eval(pending).asInstanceOf[Long]
               if (strictLocal) pt < lt else pt <= lt
             })
             if (visible) {
               if (cmp == 0) { // belongs to the current key: latest wins
+                hasState = true
                 stateKey = pk
-                stateTs = rTsE.eval(pending).asInstanceOf[Long]
+                stateTs = pt
+                stateTsNull = ptNull
                 stateVals = valueProj(pending).copy()
               }
               pending = fetch()
@@ -164,17 +181,13 @@ case class AsOfMergeExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val lRow = lIt.next()
           val lk = lKeyE.eval(lRow)
-          val ltAny = lTsE.eval(lRow)
+          val (lt, ltNull) = tsOf(lTsE, lRow)
+          advance(lk, lt)
           var vals: InternalRow = nullVals
-          if (lk != null && ltAny != null) {
-            val lt = ltAny.asInstanceOf[Long]
-            advance(lk, lt)
-            if (stateVals != null && stateKey != null &&
-                keyOrdering.compare(stateKey, lk) == 0 &&
-                tolLocal.forall(t => lt - stateTs <= t)) {
-              vals = stateVals
-              numMatched += 1
-            }
+          if (hasState && keyOrdering.compare(stateKey, lk) == 0 &&
+              tolLocal.forall(t => !ltNull && !stateTsNull && lt - stateTs <= t)) {
+            vals = stateVals
+            numMatched += 1
           }
           numOutputRows += 1
           outProj(joiner(lRow, vals))

@@ -54,17 +54,35 @@ class AsOfMergeSpec extends SparkSpec {
     assert(joined.count() == turns.count())
   }
 
-  test("null-key left rows get null state, never a match") {
+  test("null keys/timestamps: exec matches the union-window form exactly") {
     import spark.implicits._
-    val l = Seq(("a", 0, "2020-01-01 00:00:05"), (null, 1, "2020-01-01 00:00:05"))
+    // null key = its own group (Window.partitionBy groups NULLs); null ts
+    // sorts first (visible to at-or-before, never passes a tolerance)
+    val l = Seq(
+      ("a", 0, Some("2020-01-01 00:00:05")),
+      (null, 1, Some("2020-01-01 00:00:05")),
+      ("a", 2, None: Option[String]))
       .toDF("conv_id", "turn_idx", "ts")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
-    val r = Seq(("a", "2020-01-01 00:00:01", "s1"))
+    val r = Seq(
+      ("a", Some("2020-01-01 00:00:01"), "s1"),
+      (null, Some("2020-01-01 00:00:01"), "s_nullkey"),
+      ("a", None: Option[String], "s_nullts"))
       .toDF("conv_id", "ts", "state_val")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    for (((sem, strict, tol), i) <- Seq(
+        (AsOf.AtOrBefore, false, None),
+        (AsOf.StrictlyBefore, true, None),
+        (AsOf.AtOrBefore, false, Some(3600L * 1000000))).zipWithIndex) {
+      val reference = AsOf.join(l, r, "conv_id", "ts", Seq("state_val"), sem, tol)
+        .orderBy("turn_idx").select("state_val").as[Option[String]].collect().toSeq
+      val native = AsOfMerge.join(l, r, "conv_id", "ts", Seq("state_val"), strict, tol)
+        .orderBy("turn_idx").select("state_val").as[Option[String]].collect().toSeq
+      assert(native == reference, s"case $i ($sem strict=$strict tol=$tol)")
+    }
+    // sanity on the concrete values in the at-or-before case
     val got = AsOfMerge.join(l, r, "conv_id", "ts", Seq("state_val"))
-      .orderBy("turn_idx")
-      .select("state_val").as[Option[String]].collect().toSeq
-    assert(got == Seq(Some("s1"), None))
+      .orderBy("turn_idx").select("state_val").as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("s1"), Some("s_nullkey"), Some("s_nullts")))
   }
 }
