@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan shape guards: the perf work of rounds 1-3 is encoded in
+  * the PLANS (fused single aggregation, bucket-grouped candidates instead
+  * of self-joins, broadcast joins, banded LSH instead of all-pairs), so a
+  * regression that silently reintroduces a cartesian product, an extra
+  * shuffle, or a second aggregation pass should fail a test, not wait for
+  * a benchmark to drift. Counts are taken on the pre-execution plan
+  * (deterministic at fixture size) and pinned as upper bounds.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  private def count(p: String, pat: String): Int = pat.r.findAllIn(p).size
+  private def exchanges(p: String): Int = count(p, "Exchange (hash|range|Single)")
+  private def aggs(p: String): Int =
+    count(p, "HashAggregate|SortAggregate|ObjectHashAggregate")
+
+  test("no query plans a cartesian product or an unexpected sort-merge join") {
+    // every join in the library is either broadcastable by construction
+    // (dims, codebooks, candidate lists, query sets) or key-bucketed;
+    // q_knn_ivf's 16-centroid crossJoin is an explicit broadcast NLJ and
+    // is exempted from the SMJ check only
+    for (n <- Seq("q_feature_matrix", "q_feature_matrix_windowed_full",
+        "q_neardup_lsh", "q_simhash_neardup", "q_neardup_cosine",
+        "q_knn_lsh", "q_knn_brute", "q_asof_exec", "q_merge_precedent")) {
+      val p = plan(n)
+      assert(count(p, "CartesianProduct") == 0, s"$n plans a cartesian product")
+      if (n != "q_merge_precedent") // full-outer variant merge IS a legitimate SMJ
+        assert(count(p, "SortMergeJoin") == 0, s"$n plans a sort-merge join")
+    }
+  }
+
+  test("flagship: ONE fused aggregation (partial+final), bounded exchanges") {
+    val p = plan("q_feature_matrix")
+    assert(aggs(p) == 2, s"flagship must stay a single fused aggregate pair, got ${aggs(p)}")
+    assert(exchanges(p) <= 4, s"flagship exchange count regressed: ${exchanges(p)}")
+    val w = plan("q_feature_matrix_windowed_full")
+    assert(aggs(w) == 2, s"windowed-full must stay a single fused aggregate pair, got ${aggs(w)}")
+    assert(exchanges(w) <= 4, s"windowed-full exchange count regressed: ${exchanges(w)}")
+  }
+
+  test("ordered scans aggregate nothing and shuffle once (plus the final sort)") {
+    val p = plan("q_sessionize")
+    assert(aggs(p) == 0)
+    assert(exchanges(p) <= 3)
+  }
+
+  test("native as-of exec: present in plan, no aggregation, bounded exchanges") {
+    val p = plan("q_asof_exec")
+    assert(p.contains("AsOfMerge"))
+    assert(aggs(p) == 0)
+    assert(exchanges(p) <= 4)
+  }
+
+  test("LSH paths: banded equi-joins, bounded exchanges") {
+    assert(exchanges(plan("q_knn_lsh")) <= 3)
+    assert(exchanges(plan("q_neardup_cosine")) <= 6)
+    assert(exchanges(plan("q_neardup_lsh")) <= 8)
+    assert(exchanges(plan("q_simhash_neardup")) <= 4)
+  }
+}
