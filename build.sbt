@@ -16,6 +16,10 @@ run / fork := true
 // one-JSON-line-on-stdout bench/verify contract (r1+r2 bench artifacts
 // landed `parsed: null` with the JSON visible but prefixed in the tail).
 outputStrategy := Some(StdoutOutput)
+// …and sbt's own trailing "[success] Total time: …" line must not land
+// AFTER the bench's final JSON line inside the driver's 2000-char output
+// tail (r3: it did, and cost the tail window ~75 bytes).
+Global / showSuccess := false
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 Compile / runMain / outputStrategy := Some(StdoutOutput)
@@ -34,5 +38,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (box has 128GiB): the scaling campaign's high-core sides
+  // (local[32], 192 in-flight sort partitions) were GC-bound at 8g — max
+  // heap is uncommitted until used, so tests are unaffected.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

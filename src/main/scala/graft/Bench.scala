@@ -69,13 +69,20 @@ object Bench {
     spark.read.parquet(s"$dir/turns").count()
   }
 
-  /** One timed flagship run: parquet scan → range layout → feature matrix. */
+  /** One timed flagship run: parquet scan → hash-clustered layout → feature
+    * matrix. Hash, not range (r4): the native as-of merge co-partitions its
+    * two children, which only composes under hash partitioning — a range
+    * layout forces BOTH sides through extra exchanges (see
+    * `Ordered.clusteredPartitions`). The explicit repartition is the one
+    * full-table exchange of the whole job; the as-of, the window stack and
+    * the final aggregate all reuse it.
+    */
   private def flagshipRun(spark: SparkSession, dir: String): Double = {
     val turns = spark.read.parquet(s"$dir/turns")
     val state = spark.read.parquet(s"$dir/state")
     val t0 = System.nanoTime()
     val m = graft.features.FeatureRegistry.featureMatrix(
-      graft.ops.Ordered.orderedPartitions(turns, "conv_id", "turn_idx"), Some(state))
+      graft.ops.Ordered.clusteredPartitions(turns, "conv_id"), Some(state))
     m.write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
   }
@@ -89,6 +96,9 @@ object Bench {
                                clean: Int, rejected: Int) {
     def json: String =
       f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected}"""
+    /** Byte-lean form for the final tail-window line. */
+    def jsonCompact: String =
+      f"""{"turns":$turns,"n_low":$nLow,"tps_n":$tpsLow%.0f,"tps_4n":$tpsHigh%.0f,"clean_pairs":$clean,"rejected_pairs":$rejected}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -206,6 +216,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // ADVICE r3: every f"%…f" interpolation in the JSON contract formats
+    // through the JVM default locale — a comma-decimal locale would break
+    // the one-JSON-line stdout contract. Pin the process to ROOT once.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
@@ -257,6 +271,7 @@ object Bench {
     System.out.flush()
 
     // — 2. scaling evidence: both protocol pairs, wall-budgeted —
+    var scalingExtras = ""
     if (doScaling) {
       val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1080").toLong
       val log832 = scala.collection.mutable.ArrayBuffer[String]()
@@ -300,6 +315,31 @@ object Bench {
           appendBenchRow(
             f"| ${java.time.Instant.now()} (local[${r.nLow}]→local[${r.nLow * 4}]) | ${r.turns} | ${r.tpsLow}%.0f | ${r.tpsHigh}%.0f | ${r.eff}%.3f | ${r.clean}/${r.clean + r.rejected} | ${log.mkString("; ")} |")
       }
+      val ce = new StringBuilder
+      s14.foreach(r =>
+        ce ++= f""","efficiency_${r.nLow}to${r.nLow * 4}":${r.eff}%.3f""")
+      s832.foreach(r => ce ++= f""","efficiency_8to32":${r.eff}%.3f""")
+      s14.foreach(r => ce ++= s""","scaling":${r.jsonCompact}""")
+      scalingExtras = ce.toString
     }
+
+    // — 3. final COMPACT artifact line, printed dead-last —
+    // The driver keeps only the last ~2000 characters of output and parses
+    // JSON lines found inside that tail: the full-precision lines above are
+    // ~2.3KB and can therefore NEVER be parsed from the tail (every r1-r3
+    // artifact landed parsed:null with rc=0 and the JSON visible-but-
+    // truncated). This line carries the same contract fields at 2-decimal
+    // per-query precision (≤ ~1.7KB) and is the very last thing the
+    // process writes: stderr is flushed and given time to drain first so
+    // an interleaved diagnostic line cannot land after it (r3 tail showed
+    // a stderr rep line AFTER the stdout JSON), and sbt's trailing
+    // "[success] Total time" line is suppressed via showSuccess := false.
+    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    System.err.flush()
+    Thread.sleep(2000)
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"sf":"$sfDir"$scalingExtras}""")
+    System.out.flush()
+    Thread.sleep(200)
   }
 }

@@ -32,8 +32,10 @@ object Main {
     mode match {
       case "conversation" =>
         val mods = FeatureRegistry.modulesFor(names, gap)
+        // hash-clustered, not range (see Ordered.clusteredPartitions): the
+        // native as-of merge co-partitions its children under hash only
         FeatureRegistry.featureMatrix(
-          ops.Ordered.orderedPartitions(turns, "conv_id", "turn_idx"), state, mods)
+          ops.Ordered.clusteredPartitions(turns, "conv_id"), state, mods)
       case "windowed" =>
         val mods = FeatureRegistry.modulesFor(names, gap, windowed = true)
         Windowed.featureMatrixWindowedFull(turns, state,

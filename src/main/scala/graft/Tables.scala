@@ -39,11 +39,22 @@ object Tables {
     * order within each conversation.
     */
   def turns(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // Materialize conv_id FIRST, then partition the numbering window by
+    // that ATTRIBUTE (1:1 with user_id, so row numbers are identical and
+    // the oracle's user_id-partitioned window stays textually in sync):
+    // the frame then leaves here hash-clustered on conv_id itself, and the
+    // native as-of merge + window stack + final aggregate all reuse this
+    // ONE exchange. Partitioned by user_id (or by the unprojected conv_id
+    // EXPRESSION, which Catalyst extracts as a hidden `_w0` column),
+    // downstream operators cannot see the co-location and EnsureRequirements
+    // inserts a second full-table shuffle (measured on the flagship plan).
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
     events(spark, dir)
       .filter(col("event_id") % StateMod =!= 0)
+      .select(convId.as("conv_id"), col("event_type"), col("event_id"),
+        col("props"), col("ts"))
       .select(
-        convId.as("conv_id"),
+        col("conv_id"),
         (row_number().over(w) - 1).cast("int").as("turn_idx"),
         when(col("event_type") === "click", "user")
           .when(col("event_type") === "view", "assistant")

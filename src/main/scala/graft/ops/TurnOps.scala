@@ -23,6 +23,22 @@ object Ordered {
     df.repartitionByRange(col(key)).sortWithinPartitions(sorted: _*)
   }
 
+  /** Hash-clustered layout for BINARY co-partitioned operators — the
+    * native as-of merge ([[graft.plans.AsOfMergeExec]]) requires
+    * `ClusteredDistribution` on BOTH children, and co-partition
+    * compatibility across the two sides is only achievable under HASH
+    * partitioning: range bounds are per-shuffle samples, so Spark cannot
+    * shuffle the state side "into" a range layout, and EnsureRequirements
+    * would instead re-shuffle the fact side too (measured: a range-laid
+    * flagship paid THREE full-table exchanges). A hash-clustered left side
+    * passes through untouched while only the small state side shuffles;
+    * the exec's own `requiredChildOrdering` supplies the `(key, ts)`
+    * in-partition sort. Range layout ([[orderedPartitions]]) remains the
+    * right contract for single-input window scans.
+    */
+  def clusteredPartitions(df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key))
+
   /** Salt helper for skewed heavy aggregates: adds `salt = hash-block` so a
     * single giant conversation splits across `blocks` tasks; callers do a
     * two-phase aggregate (partial per (key, salt), final per key).

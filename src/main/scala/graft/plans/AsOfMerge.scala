@@ -33,6 +33,15 @@ import org.apache.spark.sql.functions.col
   * state rows the latest in sort order wins (latest state's NULL wins —
   * the whole matched row is carried, never per-column last-non-null);
   * `toleranceUs` bounds staleness measured from the MATCHED row.
+  *
+  * DUPLICATE `(key, ts)` state rows are UNSPECIFIED (ADVICE r3): the
+  * required child sort is only `(key, ts)`, so which duplicate "the latest
+  * in sort order" is depends on partition layout — exactly the
+  * union-window form's existing behavior, and DuckDB's ASOF may pick yet
+  * another row. A caller whose state table can carry duplicate timestamps
+  * must pre-dedupe (e.g. keep max by a stable row id) or add a tiebreak
+  * column to `ts`; the engine's state tables have distinct `(key, ts)` by
+  * construction.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Attribute, leftTs: Attribute,

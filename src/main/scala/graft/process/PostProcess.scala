@@ -91,24 +91,35 @@ object PostProcess {
     val shared = prev.columns.filter(c => !keys.contains(c) && next.columns.contains(c))
     val onlyA = prev.columns.filter(c => !keys.contains(c) && !next.columns.contains(c))
     val onlyB = next.columns.filter(c => !keys.contains(c) && !prev.columns.contains(c))
-    val j = prev.alias("__p").join(next.alias("__n"), keys, "full_outer")
+    // dataframe-qualified references, not dotted strings (ADVICE r3: a
+    // column name containing '.' breaks col("__p.<name>") resolution —
+    // prev(bt(c))/next(bt(c)) resolve by literal name against each side;
+    // the backticks stop Dataset.apply parsing '.' as a struct accessor)
+    def bt(c: String): String = "`" + c.replace("`", "``") + "`"
+    val j = prev.join(next, keys, "full_outer")
     val merged = shared.map { c =>
       val lo = c.toLowerCase
-      val pa = col(s"__p.$c"); val pb = col(s"__n.$c")
+      val pa = prev(bt(c)); val pb = next(bt(c))
+      // the string-precedent rule consults BOTH sides' dtypes (ADVICE r3:
+      // a prev-numeric/next-string pair would hit the mean branch and fail
+      // the double cast at runtime) — any string side means "non-numeric
+      // feature": keep the precedent, reference semantics
+      val anyString = prev.schema(c).dataType == StringType ||
+        next.schema(c).dataType == StringType
       val out =
         if (lo.contains("max") || lo.contains("highest"))
           when(pa.isNull, pb).when(pb.isNull, pa).when(pa >= pb, pa).otherwise(pb)
         else if (lo.contains("min") || lo.contains("lowest"))
           when(pa.isNull, pb).when(pb.isNull, pa).when(pa <= pb, pa).otherwise(pb)
-        else if (prev.schema(c).dataType == StringType)
-          coalesce(pa, pb)
+        else if (anyString)
+          coalesce(pa.cast("string"), pb.cast("string"))
         else
           when(pa.isNull, pb).when(pb.isNull, pa)
             .otherwise((pa.cast("double") + pb.cast("double")) / 2.0)
       out.as(c)
     }
     j.select(keys.map(col) ++ merged.toSeq ++
-      onlyA.toSeq.map(c => col(s"__p.$c")) ++ onlyB.toSeq.map(c => col(s"__n.$c")): _*)
+      onlyA.toSeq.map(c => prev(bt(c))) ++ onlyB.toSeq.map(c => next(bt(c))): _*)
   }
 
   /** S8: merge two runs' feature matrices — musiF `merge_dataframes`

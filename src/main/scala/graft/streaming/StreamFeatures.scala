@@ -42,34 +42,56 @@ object StreamFeatures {
     * state changes, keyed by conv_id; `flatMapGroupsWithState` carries the
     * latest-seen state across micro-batches and annotates each turn with
     * the state at-or-before its timestamp — the streaming form of
-    * [[graft.ops.AsOf]] AtOrBefore (state wins a timestamp tie), sharing
-    * its tie rule and Long.MinValue "no state yet" semantics.
+    * [[graft.ops.AsOf]], now in ALL THREE batch modes (r3 VERDICT #3):
     *
-    * Ordering contract: events are sorted (ts, state-first) WITHIN each
+    *  - `strict = false` (default): AtOrBefore — state wins a timestamp
+    *    tie, same tie rule and Long.MinValue "no state yet" semantics;
+    *  - `strict = true`: StrictlyBefore — a same-ts state event is
+    *    invisible to the turn (zero temporal leakage), enforced BOTH by
+    *    the in-batch sort (turns before same-ts state) and by the emit
+    *    check `carry.ts < turn.ts` (so a same-ts state carried from an
+    *    earlier micro-batch cannot leak either);
+    *  - `toleranceUs = Some(t)`: bounded staleness measured from the
+    *    MATCHED state row — older state yields None, exactly the batch
+    *    tolerance contract.
+    *
+    * Ordering contract: events are sorted (ts, tie-tag) WITHIN each
     * micro-batch group, and state only advances forward, so the output
     * equals batch AsOf.join whenever each key's events arrive in order
     * across batches (transcript streams are per-conversation ordered at
     * the source). A state event older than the carried state is ignored,
-    * never applied retroactively — late data beyond that needs the batch
-    * path, the standard streaming-asof tradeoff.
+    * never applied retroactively, and a carried state NEWER than a
+    * late-arriving turn yields None rather than leaking the future —
+    * late data beyond that needs the batch path, the standard
+    * streaming-asof tradeoff.
     *
     * Memory: per-key state is ONE (ts, value) pair; the per-batch sort is
     * bounded by a key's events within one micro-batch.
     */
-  def asOfState(events: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+  def asOfState(events: Dataset[AsOfEvent], strict: Boolean = false,
+                toleranceUs: Option[Long] = None): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
+    // tie tag at equal ts: AtOrBefore applies state first (turn sees it);
+    // StrictlyBefore emits the turn first (state invisible) — the same
+    // rule AsOf.join encodes in its __is_state sort direction
+    val stateTag = if (strict) 1 else 0
     events.groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[AsOfEvent], gs: GroupState[AsOfCarry]) =>
           var carry = gs.getOption.getOrElse(AsOfCarry(Long.MinValue, None))
           val out = Vector.newBuilder[AsOfOut]
           it.toVector
-            .sortBy(e => (e.ts_us, if (e.is_state) 0 else 1))
+            .sortBy(e => (e.ts_us, if (e.is_state) stateTag else 1 - stateTag))
             .foreach { e =>
               if (e.is_state) {
                 if (e.ts_us >= carry.ts_us) carry = AsOfCarry(e.ts_us, e.state_val)
-              } else out += AsOfOut(key, e.turn_idx.get,
-                if (carry.ts_us == Long.MinValue) None else carry.state_val)
+              } else {
+                val visible = carry.ts_us != Long.MinValue &&
+                  (if (strict) carry.ts_us < e.ts_us else carry.ts_us <= e.ts_us) &&
+                  toleranceUs.forall(t => e.ts_us - carry.ts_us <= t)
+                out += AsOfOut(key, e.turn_idx.get,
+                  if (visible) carry.state_val else None)
+              }
             }
           gs.update(carry)
           out.result().iterator

@@ -134,6 +134,86 @@ class InfraSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming as-of: strict mode never leaks same-ts state, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Boolean, Option[Int], Option[String])]
+    val events = mem.toDF()
+      .toDF("conv_id", "ts_us", "is_state", "turn_idx", "state_val")
+      .as[StreamFeatures.AsOfEvent]
+    val q = StreamFeatures.asOfState(events, strict = true)
+      .writeStream.format("memory").queryName("asof_strict_out").outputMode("append").start()
+    // batch 1: same-ts state+turn in ONE batch (tie → invisible under strict),
+    // plus conv b's state that a later-batch same-ts turn must not see
+    mem.addData(
+      ("a", 10L, true, None, Some("s0")),
+      ("a", 10L, false, Some(0), None),
+      ("a", 20L, false, Some(1), None),
+      ("b", 50L, true, None, Some("s9")))
+    q.processAllAvailable()
+    // batch 2: same-ts state+turn again (turn sees only the CARRIED s0),
+    // and conv b's same-ts turn arriving a batch after its state
+    mem.addData(
+      ("a", 20L, true, None, Some("s1")),
+      ("a", 20L, false, Some(2), None),
+      ("a", 30L, false, Some(3), None),
+      ("b", 50L, false, Some(0), None))
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT conv_id, turn_idx, state_val FROM asof_strict_out ORDER BY conv_id, turn_idx")
+      .as[(String, Int, Option[String])].collect().toSeq
+    q.stop()
+    assert(got == Seq(
+      ("a", 0, None), ("a", 1, Some("s0")),        // tie invisible; strictly-before visible
+      ("a", 2, Some("s0")), ("a", 3, Some("s1")),  // same-ts batch-2 state invisible to its turn
+      ("b", 0, None)))                             // cross-batch same-ts must not leak either
+
+    // batch-equivalence under StrictlyBefore on the same data
+    val turns = Seq(("a", 0, 10L), ("a", 1, 20L), ("a", 2, 20L), ("a", 3, 30L), ("b", 0, 50L))
+      .toDF("conv_id", "turn_idx", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val state = Seq(("a", 10L, "s0"), ("a", 20L, "s1"), ("b", 50L, "s9"))
+      .toDF("conv_id", "us", "state_val")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val batch = graft.ops.AsOf.join(turns, state, "conv_id", "ts", Seq("state_val"),
+        graft.ops.AsOf.StrictlyBefore)
+      .orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "state_val")
+      .as[(String, Int, Option[String])].collect().toSeq
+    assert(batch == got)
+  }
+
+  test("streaming as-of: tolerance bounds staleness from the matched row") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Boolean, Option[Int], Option[String])]
+    val events = mem.toDF()
+      .toDF("conv_id", "ts_us", "is_state", "turn_idx", "state_val")
+      .as[StreamFeatures.AsOfEvent]
+    val q = StreamFeatures.asOfState(events, toleranceUs = Some(15L))
+      .writeStream.format("memory").queryName("asof_tol_out").outputMode("append").start()
+    mem.addData(
+      ("a", 10L, true, None, Some("s0")),
+      ("a", 20L, false, Some(0), None))  // staleness 10 ≤ 15 → s0
+    q.processAllAvailable()
+    mem.addData(
+      ("a", 30L, false, Some(1), None))  // staleness 20 > 15 → expired
+    q.processAllAvailable()
+    val got = spark.sql("SELECT turn_idx, state_val FROM asof_tol_out ORDER BY turn_idx")
+      .as[(Int, Option[String])].collect().toSeq
+    q.stop()
+    assert(got == Seq((0, Some("s0")), (1, None)))
+
+    val turns = Seq(("a", 0, 20L), ("a", 1, 30L))
+      .toDF("conv_id", "turn_idx", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val state = Seq(("a", 10L, "s0"))
+      .toDF("conv_id", "us", "state_val")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val batch = graft.ops.AsOf.join(turns, state, "conv_id", "ts", Seq("state_val"),
+        graft.ops.AsOf.AtOrBefore, toleranceUs = Some(15L))
+      .orderBy("turn_idx").select("turn_idx", "state_val")
+      .as[(Int, Option[String])].collect().toSeq
+    assert(batch == got)
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic sigs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.fromDocuments(docs)

@@ -34,11 +34,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("flagship: ONE fused aggregation (partial+final), bounded exchanges") {
+  test("flagship: native as-of, ONE fused aggregation, bounded exchanges") {
     val p = plan("q_feature_matrix")
+    assert(p.contains("AsOfMerge"), "flagship must run the native as-of exec (r3 VERDICT #2)")
     assert(aggs(p) == 2, s"flagship must stay a single fused aggregate pair, got ${aggs(p)}")
-    assert(exchanges(p) <= 4, s"flagship exchange count regressed: ${exchanges(p)}")
+    // r4: turn-numbering exchange (hash conv_id, reused by as-of + windows
+    // + aggregate) + small state exchange + final ORDER BY — the as-of
+    // left side must NOT re-shuffle (hash-clustered layout contract)
+    assert(exchanges(p) <= 3, s"flagship exchange count regressed: ${exchanges(p)}")
     val w = plan("q_feature_matrix_windowed_full")
+    assert(w.contains("AsOfMerge"), "windowed-full must run the native as-of exec")
     assert(aggs(w) == 2, s"windowed-full must stay a single fused aggregate pair, got ${aggs(w)}")
     assert(exchanges(w) <= 4, s"windowed-full exchange count regressed: ${exchanges(w)}")
   }

@@ -86,6 +86,18 @@ class PostProcessSpec extends SparkSpec {
     ))
   }
 
+  test("mergeWithPrecedent: dotted column names and mixed-dtype shared columns (ADVICE r3)") {
+    // "a.b" would break dotted-string resolution; score is numeric on one
+    // side and string on the other — must take the string-precedent rule,
+    // not crash in the mean branch's double cast
+    val prev = Seq(("c1", Some(2.0), Some(1.0))).toDF("conv_id", "a.b", "score")
+    val next = Seq(("c1", Some(4.0), Some("high")))
+      .toDF("conv_id", "a.b", "score")
+    val m = PostProcess.mergeWithPrecedent(prev, next).orderBy("conv_id")
+      .as[(String, Option[Double], Option[String])].collect().toSeq
+    assert(m == Seq(("c1", Some(3.0), Some("1.0"))))
+  }
+
   test("explodeMapToColumns fails loudly above maxKeys (no unbounded driver collect)") {
     import graft.ops.OpenHistogram
     val t = (1 to 10).map(i => ("a", s"k$i")).toDF("conv_id", "label")
