@@ -223,13 +223,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
-    // ~4.8M turns: the low side (local[1]) runs ≥ ~60s so the per-run
-    // serial component (planning, sample job, stage scheduling, ~5-10s) is
-    // small against W, while the FULL default run — 3 query reps + both
-    // scaling pairs — fits well inside the driver's bench timeout (the r2
-    // protocol at 160k convs + 10 max pairs could not, and was killed with
-    // nothing parsed)
-    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "100000").toLong
+    // ~7.2M turns (r4: 100k→150k convs): the r4 flagship plan cut the
+    // per-run serial component to ~6.6s (measured from rep pairs:
+    // (4·t4−t1)/3), so a larger parallel section W raises the ideal
+    // 1→4 efficiency ceiling from ~0.84 to ~0.89 while a pair still
+    // costs ~190s — 3-4 pairs plus the 8→32 slice fit the default
+    // 1080s budget, and the FULL default run (3 query reps + both
+    // scaling campaigns) stays well inside the driver's bench timeout
+    // (the r2 protocol at 160k convs + 10 max pairs did not, and was
+    // killed with nothing parsed)
+    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "150000").toLong
 
     // — 1. per-query timings: interleaved rounds, per-query median —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"

@@ -954,6 +954,26 @@ object SparkEntry {
       graft.features.FeatureRegistry.featureMatrix(
           turnsOrdered(s, dir), Some(Tables.state(s, dir)))
         .orderBy("conv_id")),
+
+    // ——— F5 string repeat/casing + F11/F12 padding & position arithmetic
+    //     (native codegen'd functions; oracle-pinned so the two previously
+    //     "trivial, untested" SURVEY rows are hash-checked like the rest) ———
+    "q_string_ops" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          upper(col("role")).as("role_uc"),
+          lower(col("role")).as("role_lc"),
+          expr("repeat('*', turn_idx % 5)").as("marker"),
+          lpad(col("turn_idx").cast("string"), 4, "0").as("idx_pad"),
+          substring(col("text"), 1, 8).as("text_head"))
+        .orderBy("conv_id", "turn_idx")),
+
+    // ——— O7 limit as deterministic top-k (total tiebreak order) ———
+    "q_top_convs" -> ((s, dir) =>
+      Tables.turns(s, dir)
+        .groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+        .orderBy(col("n_turns").desc, col("conv_id"))
+        .limit(10)),
   )
 
   /** DuckDB cosine over two DOUBLE[] expressions (the oracle twin of
@@ -1953,5 +1973,19 @@ object SparkEntry {
         |JOIN runf USING (conv_id)
         |JOIN trimf USING (conv_id)
         |ORDER BY conv_id""".stripMargin),
+
+    "q_string_ops" -> Oracle.withTurns(
+      """SELECT conv_id, turn_idx,
+        |  upper(role) AS role_uc,
+        |  lower(role) AS role_lc,
+        |  repeat('*', turn_idx % 5) AS marker,
+        |  lpad(CAST(turn_idx AS VARCHAR), 4, '0') AS idx_pad,
+        |  substr(text, 1, 8) AS text_head
+        |FROM turns ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_top_convs" -> Oracle.withTurns(
+      """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+        |FROM turns GROUP BY 1
+        |ORDER BY n_turns DESC, conv_id LIMIT 10""".stripMargin),
   )
 }
