@@ -66,35 +66,52 @@ object StreamFeatures {
     * streaming-asof tradeoff.
     *
     * Memory: per-key state is ONE (ts, value) pair; the per-batch sort is
-    * bounded by a key's events within one micro-batch.
+    * bounded by a key's events within one micro-batch. The state STORE,
+    * however, holds one entry per conversation ever seen — at transcript-
+    * stream scale (billions of conversations, most finished) that is the
+    * real memory bound, so `stateTtl` (e.g. "2 hours") arms a processing-
+    * time timeout that evicts a conversation's carry after it goes quiet;
+    * a turn arriving later than the TTL re-enters as "no state yet" (the
+    * same answer the batch path gives a conversation whose state was
+    * archived). None = keep state forever (test/demo default).
     */
   def asOfState(events: Dataset[AsOfEvent], strict: Boolean = false,
-                toleranceUs: Option[Long] = None): Dataset[AsOfOut] = {
+                toleranceUs: Option[Long] = None,
+                stateTtl: Option[String] = None): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
     // tie tag at equal ts: AtOrBefore applies state first (turn sees it);
     // StrictlyBefore emits the turn first (state invisible) — the same
     // rule AsOf.join encodes in its __is_state sort direction
     val stateTag = if (strict) 1 else 0
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, it: Iterator[AsOfEvent], gs: GroupState[AsOfCarry]) =>
-          var carry = gs.getOption.getOrElse(AsOfCarry(Long.MinValue, None))
-          val out = Vector.newBuilder[AsOfOut]
-          it.toVector
-            .sortBy(e => (e.ts_us, if (e.is_state) stateTag else 1 - stateTag))
-            .foreach { e =>
-              if (e.is_state) {
-                if (e.ts_us >= carry.ts_us) carry = AsOfCarry(e.ts_us, e.state_val)
-              } else {
-                val visible = carry.ts_us != Long.MinValue &&
-                  (if (strict) carry.ts_us < e.ts_us else carry.ts_us <= e.ts_us) &&
-                  toleranceUs.forall(t => e.ts_us - carry.ts_us <= t)
-                out += AsOfOut(key, e.turn_idx.get,
-                  if (visible) carry.state_val else None)
+          if (gs.hasTimedOut) {
+            gs.remove()
+            Iterator.empty
+          } else {
+            var carry = gs.getOption.getOrElse(AsOfCarry(Long.MinValue, None))
+            val out = Vector.newBuilder[AsOfOut]
+            it.toVector
+              .sortBy(e => (e.ts_us, if (e.is_state) stateTag else 1 - stateTag))
+              .foreach { e =>
+                if (e.is_state) {
+                  if (e.ts_us >= carry.ts_us) carry = AsOfCarry(e.ts_us, e.state_val)
+                } else {
+                  val visible = carry.ts_us != Long.MinValue &&
+                    (if (strict) carry.ts_us < e.ts_us else carry.ts_us <= e.ts_us) &&
+                    toleranceUs.forall(t => e.ts_us - carry.ts_us <= t)
+                  out += AsOfOut(key, e.turn_idx.get,
+                    if (visible) carry.state_val else None)
+                }
               }
-            }
-          gs.update(carry)
-          out.result().iterator
+            gs.update(carry)
+            stateTtl.foreach(gs.setTimeoutDuration)
+            out.result().iterator
+          }
       }
   }
 

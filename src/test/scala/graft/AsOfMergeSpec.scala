@@ -54,6 +54,25 @@ class AsOfMergeSpec extends SparkSpec {
     assert(joined.count() == turns.count())
   }
 
+  test("SQLMetrics: numOutputRows == left rows, numMatched == rows with state") {
+    // AQE wraps the plan, hiding the exec from collect() until execution
+    // finalizes — disable it for this one assertion-by-metric test
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = AsOfMerge.join(turns, state, "conv_id", "ts", Seq("state_val"))
+      val expectMatched = joined.filter(col("state_val").isNotNull).count()
+      val expectRows = turns.count()
+      val df = AsOfMerge.join(turns, state, "conv_id", "ts", Seq("state_val"))
+      // drive THIS dataset's own QueryExecution (a write.save() plans a
+      // separate one, leaving these metric accumulators untouched)
+      df.collect()
+      val exec = df.queryExecution.executedPlan.collect { case e: AsOfMergeExec => e }
+      assert(exec.nonEmpty, "AsOfMergeExec not found in non-AQE plan")
+      assert(exec.head.metrics("numOutputRows").value == expectRows)
+      assert(exec.head.metrics("numMatched").value == expectMatched)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("null keys/timestamps: exec matches the union-window form exactly") {
     import spark.implicits._
     // null key = its own group (Window.partitionBy groups NULLs); null ts

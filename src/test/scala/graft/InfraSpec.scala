@@ -181,6 +181,24 @@ class InfraSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming as-of: stateTtl plumbs a processing-time timeout into the plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Boolean, Option[Int], Option[String])]
+    val events = mem.toDF()
+      .toDF("conv_id", "ts_us", "is_state", "turn_idx", "state_val")
+      .as[StreamFeatures.AsOfEvent]
+    // plan-level only, deliberately not started: with ProcessingTimeTimeout
+    // armed and the default 0s trigger, the engine runs CONTINUOUS empty
+    // micro-batches to poll timeouts — a started query spins the suite's
+    // wall clock (observed: ~3000 epochs/min). The timeout semantics
+    // themselves (evict on quiet) are the engine's contract; ours is the
+    // plumbing: TTL set → ProcessingTimeTimeout, unset → NoTimeout.
+    val withTtl = StreamFeatures.asOfState(events, stateTtl = Some("1 hour"))
+    assert(withTtl.queryExecution.analyzed.toString.contains("ProcessingTimeTimeout"))
+    val noTtl = StreamFeatures.asOfState(events)
+    assert(noTtl.queryExecution.analyzed.toString.contains("NoTimeout"))
+  }
+
   test("streaming as-of: tolerance bounds staleness from the matched row") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Boolean, Option[Int], Option[String])]
