@@ -106,6 +106,20 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "state_val")
         .orderBy("conv_id", "turn_idx")),
 
+    // ——— multi-table point-in-time join (the feature-store shape): the
+    //     fact side aligned against TWO independent state tables through
+    //     chained native execs — AsOfMergeExec preserves left partitioning
+    //     and ordering, so the fact table is laid out ONCE and each extra
+    //     state table costs only its own small exchange + sort (the
+    //     union-window form would re-sort the fact rows per table). ———
+    "q_asof_multi" -> ((s, dir) =>
+      graft.plans.AsOfMerge.joinMany(Tables.turns(s, dir),
+          Seq(Tables.state(s, dir) -> Seq("state_val"),
+              Tables.state2(s, dir) -> Seq("load_val")),
+          "conv_id", "ts")
+        .select("conv_id", "turn_idx", "state_val", "load_val")
+        .orderBy("conv_id", "turn_idx")),
+
     // ——— J1 as-of join, strictly-before (zero temporal leakage) ———
     "q_asof_strict" -> ((s, dir) =>
       AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
@@ -1118,6 +1132,16 @@ object SparkEntry {
         |  CASE WHEN epoch_us(ts) - epoch_us(st.sts) <= 172800000000
         |       THEN st.sval END AS state_val
         |FROM f WHERE is_state = 0 ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_asof_multi" -> (
+      s"""WITH ${Oracle.turnsCte},
+         |${Oracle.stateCte},
+         |${Oracle.state2Cte}
+         |SELECT t.conv_id, t.turn_idx, s.state_val, s2.load_val
+         |FROM turns t
+         |ASOF LEFT JOIN state s ON t.conv_id = s.conv_id AND t.ts >= s.ts
+         |ASOF LEFT JOIN state2 s2 ON t.conv_id = s2.conv_id AND t.ts >= s2.ts
+         |ORDER BY t.conv_id, t.turn_idx""".stripMargin),
 
     "q_asof_strict" -> Oracle.withTurnsAndState(
       """SELECT t.conv_id, t.turn_idx, s.state_val

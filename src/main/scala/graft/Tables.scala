@@ -84,6 +84,21 @@ object Tables {
         col("ts"),
         concat(col("event_type"), lit("_"), (col("event_id") % 10).cast("string")).as("state_val"))
 
+  /** A SECOND per-entity state table (a load/pricing-style signal) for the
+    * multi-table point-in-time join (`AsOfMerge.joinMany`): a different
+    * sampling of events (event_id % 5 == 0) with its own value column.
+    * Overlaps `state` where event_id % 35 == 0 — realistic: independent
+    * feature tables are rarely disjoint in time.
+    */
+  def state2(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_id") % 5 === 0)
+      .select(
+        convId.as("conv_id"),
+        col("ts"),
+        concat(upper(col("event_type")), lit("_"),
+          (col("event_id") % 3).cast("string")).as("load_val"))
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -125,6 +140,14 @@ object Oracle {
       |         ts,
       |         event_type || '_' || CAST(event_id % 10 AS VARCHAR) AS state_val
       |  FROM events WHERE event_id % 7 = 0
+      |)""".stripMargin
+
+  val state2Cte: String =
+    """state2 AS (
+      |  SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+      |         ts,
+      |         upper(event_type) || '_' || CAST(event_id % 3 AS VARCHAR) AS load_val
+      |  FROM events WHERE event_id % 5 = 0
       |)""".stripMargin
 
   /** `WITH turns AS (...) <body>` */

@@ -244,4 +244,21 @@ object AsOfMerge {
       strict, toleranceUs)
     Bridge.ofRows(left.sparkSession, node)
   }
+
+  /** Multi-table point-in-time join (the feature-store shape): align the
+    * fact side against N state tables in one pass over its layout. Because
+    * [[AsOfMergeExec]] PRESERVES the left partitioning and ordering, the
+    * chained execs compose with ZERO re-shuffles and zero re-sorts of the
+    * fact side — the plan is one fact layout + one small exchange/sort per
+    * state table, however many tables are joined. (The union-window form
+    * cannot do this: each additional table would drag the fact rows
+    * through another union sort.) Each entry is (state table, its value
+    * columns); `strict`/`toleranceUs` apply to every table.
+    */
+  def joinMany(left: DataFrame, rights: Seq[(DataFrame, Seq[String])],
+               key: String, ts: String,
+               strict: Boolean = false, toleranceUs: Option[Long] = None): DataFrame =
+    rights.foldLeft(left) { case (acc, (right, cols)) =>
+      join(acc, right, key, ts, cols, strict, toleranceUs)
+    }
 }

@@ -61,6 +61,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 4)
   }
 
+  test("multi-table as-of: two chained native execs, fact side laid out once") {
+    val p = plan("q_asof_multi")
+    assert(count(p, "AsOfMerge") == 2, s"expected 2 chained execs in:\n$p")
+    // turns derivation exchange + one small exchange per state table +
+    // the final ORDER BY — the fact side must NOT re-shuffle between execs
+    assert(exchanges(p) <= 4, s"fact side re-shuffled between as-of stages: ${exchanges(p)}")
+    assert(aggs(p) == 0)
+  }
+
   test("LSH paths: banded equi-joins, bounded exchanges") {
     assert(exchanges(plan("q_knn_lsh")) <= 3)
     assert(exchanges(plan("q_neardup_cosine")) <= 6)
