@@ -300,17 +300,25 @@ object Bench {
       // gets everything left of the budget
       val s14 = scalingEvidence(corpusDir, nTurns, nPrimary,
         t0 + budgetSec * 1000000000L, log14)
-      val extras = new StringBuilder
-      // key named from the measured pair (default SCALE_N=1 → the
-      // documented "efficiency_1to4"; an override must not masquerade as
-      // the 1→4 protocol number)
-      s14.foreach(r =>
-        extras ++= f""","efficiency_${r.nLow}to${r.nLow * 4}":${r.eff}%.3f""")
-      s832.foreach(r => extras ++= f""","efficiency_8to32":${r.eff}%.3f""")
-      s14.foreach(r => extras ++= s""","scaling":${r.json}""")
-      s832.foreach(r => extras ++= s""","scaling_8to32":${r.json}""")
+      // ONE renderer for both the full superset line and the compact tail
+      // line — a contract field added here lands in both (the r4 review
+      // caught the two hand-synced copies drifting: the compact copy had
+      // silently dropped scaling_8to32).
+      // efficiency key named from the measured pair (default SCALE_N=1 →
+      // the documented "efficiency_1to4"; an override must not masquerade
+      // as the 1→4 protocol number)
+      def renderExtras(render: ScaleResult => String): String = {
+        val sb = new StringBuilder
+        s14.foreach(r =>
+          sb ++= f""","efficiency_${r.nLow}to${r.nLow * 4}":${r.eff}%.3f""")
+        s832.foreach(r => sb ++= f""","efficiency_8to32":${r.eff}%.3f""")
+        s14.foreach(r => sb ++= s""","scaling":${render(r)}""")
+        s832.foreach(r => sb ++= s""","scaling_8to32":${render(r)}""")
+        sb.toString
+      }
+      val extras = renderExtras(_.json)
       if (extras.nonEmpty) {
-        println(jsonLine(extras.toString))
+        println(jsonLine(extras))
         System.out.flush()
       }
       (s14.map(_ -> log14).toSeq ++ s832.map(_ -> log832).toSeq).foreach {
@@ -318,12 +326,7 @@ object Bench {
           appendBenchRow(
             f"| ${java.time.Instant.now()} (local[${r.nLow}]→local[${r.nLow * 4}]) | ${r.turns} | ${r.tpsLow}%.0f | ${r.tpsHigh}%.0f | ${r.eff}%.3f | ${r.clean}/${r.clean + r.rejected} | ${log.mkString("; ")} |")
       }
-      val ce = new StringBuilder
-      s14.foreach(r =>
-        ce ++= f""","efficiency_${r.nLow}to${r.nLow * 4}":${r.eff}%.3f""")
-      s832.foreach(r => ce ++= f""","efficiency_8to32":${r.eff}%.3f""")
-      s14.foreach(r => ce ++= s""","scaling":${r.jsonCompact}""")
-      scalingExtras = ce.toString
+      scalingExtras = renderExtras(_.jsonCompact)
     }
 
     // — 3. final COMPACT artifact line, printed dead-last —
@@ -339,9 +342,28 @@ object Bench {
     // "[success] Total time" line is suppressed via showSuccess := false.
     val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    def compactLine(qs: String, extras: String): String =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"$extras}"""
+    // Graduated length guard: the whole fix depends on this line fitting
+    // the 2000-char tail, and the query set grows every round. Shed the
+    // least-critical payload first (the per-pair scaling blocks — their
+    // full forms are on the superset line and in BENCH.md), then the
+    // per-query map (full-precision copy on the phase-1 line); the
+    // efficiency_* gate keys are never shed.
+    val TailBudget = 1900
+    var line = compactLine(qs2, scalingExtras)
+    if (line.length > TailBudget) {
+      val effOnly = scalingExtras.replaceAll(""","scaling(_8to32)?":\{[^}]*\}""", "")
+      System.err.println(s"[bench] compact line ${line.length} chars > $TailBudget: dropping scaling blocks")
+      line = compactLine(qs2, effOnly)
+      if (line.length > TailBudget) {
+        System.err.println(s"[bench] compact line still ${line.length} chars: dropping per-query map")
+        line = compactLine("{}", effOnly)
+      }
+    }
     System.err.flush()
     Thread.sleep(2000)
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs2,"sf":"$sfDir"$scalingExtras}""")
+    println(line)
     System.out.flush()
     Thread.sleep(200)
   }

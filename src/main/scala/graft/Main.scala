@@ -32,10 +32,15 @@ object Main {
     mode match {
       case "conversation" =>
         val mods = FeatureRegistry.modulesFor(names, gap)
-        // hash-clustered, not range (see Ordered.clusteredPartitions): the
-        // native as-of merge co-partitions its children under hash only
-        FeatureRegistry.featureMatrix(
-          ops.Ordered.clusteredPartitions(turns, "conv_id"), state, mods)
+        // no explicit layout call: Tables.turns already leaves the frame
+        // hash-clustered on conv_id (its numbering window's exchange), and
+        // an explicit repartition is a user shuffle EnsureRequirements
+        // never elides — it would be a redundant second full-table
+        // exchange. A caller with un-clustered input gets exactly one
+        // planner-inserted hash exchange from the as-of exec's
+        // requiredChildDistribution (see Ordered.clusteredPartitions for
+        // when to force the layout by hand).
+        FeatureRegistry.featureMatrix(turns, state, mods)
       case "windowed" =>
         val mods = FeatureRegistry.modulesFor(names, gap, windowed = true)
         Windowed.featureMatrixWindowedFull(turns, state,

@@ -40,8 +40,10 @@ object Tables {
     */
   def turns(spark: SparkSession, dir: String): DataFrame = {
     // Materialize conv_id FIRST, then partition the numbering window by
-    // that ATTRIBUTE (1:1 with user_id, so row numbers are identical and
-    // the oracle's user_id-partitioned window stays textually in sync):
+    // that ATTRIBUTE — and the oracle CTE partitions by the SAME derived
+    // expression, not by user_id: lpad TRUNCATES beyond 6 digits in both
+    // engines, so two user_ids CAN collide into one conv_id, and both
+    // engines must then number the collided conversation identically.
     // the frame then leaves here hash-clustered on conv_id itself, and the
     // native as-of merge + window stack + final aggregate all reuse this
     // ONE exchange. Partitioned by user_id (or by the unprojected conv_id
@@ -123,7 +125,8 @@ object Oracle {
   val turnsCte: String =
     """turns AS (
       |  SELECT 'c' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
-      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+      |         CAST(row_number() OVER (PARTITION BY 'c' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+      |                                 ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
       |         CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
       |              WHEN 'signup' THEN 'system' WHEN 'purchase' THEN 'assistant'
       |              ELSE 'tool' END AS role,

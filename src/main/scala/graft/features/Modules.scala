@@ -50,8 +50,10 @@ object CensusModule extends FeatureModule {
   * not just its own oracle queries): the union-window form shuffles
   * turns+state TOGETHER through one hash exchange and sorts the union,
   * while the native exec's `ClusteredDistribution` is already satisfied by
-  * the engine's range-partitioned storage layout ([[graft.ops.Ordered]]),
-  * so only the (small) state side shuffles, each side sorts in isolation,
+  * a HASH-clustered left side (what `Tables.turns` leaves behind, or
+  * [[graft.ops.Ordered.clusteredPartitions]] — range layout does NOT
+  * compose here, see that scaladoc), so only the (small) state side
+  * shuffles, each side sorts in isolation,
   * and the left partitioning survives — the downstream window stack and
   * the final conv_id HashAggregate run exchange-free. Net: the flagship
   * drops from two full-table exchanges to one. Semantics are spec-asserted

@@ -91,15 +91,17 @@ object PostProcess {
     val shared = prev.columns.filter(c => !keys.contains(c) && next.columns.contains(c))
     val onlyA = prev.columns.filter(c => !keys.contains(c) && !next.columns.contains(c))
     val onlyB = next.columns.filter(c => !keys.contains(c) && !prev.columns.contains(c))
-    // dataframe-qualified references, not dotted strings (ADVICE r3: a
-    // column name containing '.' breaks col("__p.<name>") resolution —
-    // prev(bt(c))/next(bt(c)) resolve by literal name against each side;
-    // the backticks stop Dataset.apply parsing '.' as a struct accessor)
+    // alias-qualified references with the column name BACKTICKED inside
+    // the dotted string (ADVICE r3: a bare col("__p.<name>") breaks for
+    // names containing '.'). Aliases, not prev(c)/next(c) dataframe-apply:
+    // apply carries dataset-id metadata that turns ambiguous when prev and
+    // next share lineage (idempotent re-merge of the same matrix), while
+    // alias qualification resolves either way.
     def bt(c: String): String = "`" + c.replace("`", "``") + "`"
-    val j = prev.join(next, keys, "full_outer")
+    val j = prev.alias("__p").join(next.alias("__n"), keys, "full_outer")
     val merged = shared.map { c =>
       val lo = c.toLowerCase
-      val pa = prev(bt(c)); val pb = next(bt(c))
+      val pa = col(s"__p.${bt(c)}"); val pb = col(s"__n.${bt(c)}")
       // the string-precedent rule consults BOTH sides' dtypes (ADVICE r3:
       // a prev-numeric/next-string pair would hit the mean branch and fail
       // the double cast at runtime) — any string side means "non-numeric
@@ -119,7 +121,8 @@ object PostProcess {
       out.as(c)
     }
     j.select(keys.map(col) ++ merged.toSeq ++
-      onlyA.toSeq.map(c => prev(bt(c))) ++ onlyB.toSeq.map(c => next(bt(c))): _*)
+      onlyA.toSeq.map(c => col(s"__p.${bt(c)}")) ++
+      onlyB.toSeq.map(c => col(s"__n.${bt(c)}")): _*)
   }
 
   /** S8: merge two runs' feature matrices — musiF `merge_dataframes`

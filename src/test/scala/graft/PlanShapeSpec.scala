@@ -61,6 +61,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 4)
   }
 
+  test("range layout (orderedPartitions): window scans reuse the exchange AND the sort") {
+    // the documented single-input ordered-scan contract: one explicit range
+    // exchange + in-partition sort up front, then a (key) ORDER BY (ord)
+    // window adds NO further exchange and NO further sort. Input must be
+    // exchange-free itself (TranscriptGen's cumulative-ts window is not),
+    // so build a plain arithmetic frame.
+    import org.apache.spark.sql.functions.{col, concat, lit, timestamp_micros}
+    val t = spark.range(2000).select(
+      concat(lit("c"), (col("id") / 100).cast("long").cast("string")).as("conv_id"),
+      (col("id") % 100).cast("int").as("turn_idx"),
+      lit("user").as("role"),
+      lit("xxxx").as("text"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"))
+    val laid = graft.ops.Ordered.orderedPartitions(t, "conv_id", "turn_idx")
+    val p = graft.ops.LagLead.turnLagFeatures(laid)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "Exchange rangepartitioning") == 1, s"range layout missing in:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 0, s"window re-shuffled the laid frame:\n$p")
+    assert(count(p, "\\+- Sort") == 1, s"window re-sorted the laid frame:\n$p")
+  }
+
   test("multi-table as-of: two chained native execs, fact side laid out once") {
     val p = plan("q_asof_multi")
     assert(count(p, "AsOfMerge") == 2, s"expected 2 chained execs in:\n$p")

@@ -98,6 +98,16 @@ class PostProcessSpec extends SparkSpec {
     assert(m == Seq(("c1", Some(3.0), Some("1.0"))))
   }
 
+  test("mergeWithPrecedent: self-merge (shared lineage) resolves without ambiguity") {
+    // prev and next are the SAME frame: dataframe-apply references would be
+    // ambiguous under the self-join detector; the alias-qualified form must
+    // resolve and act as an identity merge
+    val m = Seq(("c1", Some(4.0), Some("p"))).toDF("conv_id", "score", "tag")
+    val out = PostProcess.mergeWithPrecedent(m, m)
+      .as[(String, Option[Double], Option[String])].collect().toSeq
+    assert(out == Seq(("c1", Some(4.0), Some("p"))))
+  }
+
   test("explodeMapToColumns fails loudly above maxKeys (no unbounded driver collect)") {
     import graft.ops.OpenHistogram
     val t = (1 to 10).map(i => ("a", s"k$i")).toDF("conv_id", "label")
