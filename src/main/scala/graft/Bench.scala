@@ -94,11 +94,18 @@ object Bench {
   final case class ScaleResult(nLow: Int, turns: Long, tpsLow: Double,
                                tpsHigh: Double, eff: Double,
                                clean: Int, rejected: Int) {
+    // an efficiency median ABOVE 1.0 is physically implausible on identical
+    // work: it means the low-parallelism sides were systematically slowed
+    // by ambient load during the campaign window (individual >1.05 pairs
+    // are rejected, but a whole contended campaign can median at ~1.0x).
+    // Flag it in the artifact rather than let it read as a gamed gate.
+    private def note: String =
+      if (eff > 1.0) ""","low_side_contended":true""" else ""
     def json: String =
-      f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected}"""
+      f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected$note}"""
     /** Byte-lean form for the final tail-window line. */
     def jsonCompact: String =
-      f"""{"turns":$turns,"n_low":$nLow,"tps_n":$tpsLow%.0f,"tps_4n":$tpsHigh%.0f,"clean_pairs":$clean,"rejected_pairs":$rejected}"""
+      f"""{"turns":$turns,"n_low":$nLow,"tps_n":$tpsLow%.0f,"tps_4n":$tpsHigh%.0f,"clean_pairs":$clean,"rejected_pairs":$rejected$note}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
