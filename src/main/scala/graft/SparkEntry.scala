@@ -421,60 +421,24 @@ object SparkEntry {
     // sharding for web-scale corpora); exact Jaccard only on candidates via
     // array_intersect (no quadratic token-join shuffle). Approximate-recall
     // semantics are the operator's contract (recall ≈ 1-(1-j^4)^2).
-    "q_neardup_lsh" -> ((s, dir) => {
-      import graft.functions.TextFns._
-      val docs = Tables.documents(s, dir)
-      val mh = minhashRows(docs, "doc_id", "text", 8)
-      // doc→source attach: NO broadcast hint — the map is |docs|-sized
-      // (too big to broadcast at corpus scale); Catalyst/AQE picks
-      // broadcast at fixture size and shuffle-hash at scale.
-      // The band key is the 60-bit md5Long of the 4-minhash CSV, not the
-      // ~40-char CSV itself (r3 VERDICT nit): the bucket groupBy shuffles
-      // an 8-byte key instead of a string — ~10× smaller shuffle rows at
-      // corpus scale, same buckets (collision odds over the corpus's
-      // band-key population are ~|keys|²/2^61).
-      val bands = mh.withColumn("band", (col("seed") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(md5Long(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash").cast("string")), ",")).as("bkey"))
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      // candidate pairs via BUCKET GROUPING, not a self-join: a self-join's
-      // two sides each recompute the whole minhash pipeline (exchange
-      // reuse does not fire across the join aliases — measured 2×), while
-      // one more groupBy extends the existing shuffle. Pair fan-out per
-      // bucket is the same Σ|bucket|² the join produced; near-dup bands
-      // keep buckets naturally small (a giant bucket is quadratic under
-      // either formulation)
-      val buckets = bands.groupBy("source", "band", "bkey")
-        .agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) > 1)
-      val cand = buckets
-        .select(explode(col("ds")).as("da"), col("ds"))
-        .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
-        .distinct()
-      // exact verify: broadcast the CANDIDATE PAIRS (near-dup count —
-      // small by construction) against the big token-set table; round-1
-      // broadcast the corpus-wide token sets instead, which cannot exist
-      // at 100 TB. Both pair sides resolve in ONE documents scan: the
-      // pair list is exploded to (doc_id, pair) and regrouped, instead of
-      // scanning + re-tokenizing the corpus once per side
-      val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
-      val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
-        .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
-      // no broadcast hint on the candidate-pair list: near-dup counts are
-      // small by construction, so AQE picks broadcast at runtime — but a
-      // boilerplate-saturated corpus (giant candidate set) must degrade to
-      // a shuffle join instead of OOMing the driver on a forced broadcast
-      sets.join(wanted, Seq("doc_id"))
-        .groupBy("da", "db")
-        .agg(
-          first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
-          first(when(col("doc_id") === col("db"), col("s")), ignoreNulls = true).as("sb"))
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("jaccard", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
-        .filter(col("jaccard") >= 0.9)
-        .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("da", "db")
+    "q_neardup_lsh" -> ((s, dir) =>
+      neardupLshPairs(s, dir).orderBy("da", "db")),
+
+    // ——— dedup COMPLETION: keeper assignment via connected components ———
+    // Near-dup detection yields pairs; production dedup needs one KEEPER
+    // per duplicate cluster (pairs are not transitive-closed: a~b, b~c
+    // without a~c still must collapse to one keeper). Components by
+    // iterative min-label propagation over the verified LSH pairs
+    // (ops.Components — convergence-checked, so the fixpoint is the exact
+    // component minimum regardless of iteration order); every corpus doc
+    // gets a keeper (singletons keep themselves).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = neardupLshPairs(s, dir)
+      val lbl = graft.ops.Components.minLabel(pairs, "da", "db")
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper"))
+        .orderBy("doc_id")
     }),
 
     // ——— J1 variant: bounded-staleness as-of join (48h tolerance) ———
@@ -961,9 +925,11 @@ object SparkEntry {
         .orderBy("conv_id", "w_start_us")),
 
     // ——— FLAGSHIP: the full per-conversation wide feature matrix ———
-    // All modules fused: one enrich chain (lag + sessionize + as-of state)
-    // over the ordered turns, ONE shared HashAggregate, three small
-    // co-partitioned frame joins (sessions/runs/trimmed).
+    // All modules fused: one enrich chain (lag + sessionize + native as-of
+    // merge) over the ordered turns, every per-frame statistic folded into
+    // window columns + conditional aggs, so the whole matrix is one parquet
+    // scan, one full-table exchange, and ONE shared HashAggregate pair
+    // (shape pinned by PlanShapeSpec).
     "q_feature_matrix" -> ((s, dir) =>
       graft.features.FeatureRegistry.featureMatrix(
           turnsOrdered(s, dir), Some(Tables.state(s, dir)))
@@ -989,6 +955,84 @@ object SparkEntry {
         .orderBy(col("n_turns").desc, col("conv_id"))
         .limit(10)),
   )
+
+  /** Verified MinHash-LSH near-dup pairs (da < db, jaccard ≥ 0.9) — ONE
+    * definition for `q_neardup_lsh` and the `q_dedup_clusters` keeper
+    * assignment (its oracle twin is [[neardupPairsCtes]]).
+    *
+    *  - doc→source attach and candidate-pair verify carry NO broadcast
+    *    hints: both sides are |docs|- or candidate-sized, Catalyst/AQE
+    *    picks broadcast at fixture size, shuffle join at corpus scale;
+    *  - the band key is the 60-bit md5Long of the 4-minhash CSV, not the
+    *    ~40-char string (8-byte shuffle key, same buckets — collision
+    *    odds ~|keys|²/2^61);
+    *  - candidate pairs come from BUCKET GROUPING, not a band self-join:
+    *    the self-join's two aliases each recompute the whole minhash
+    *    pipeline (exchange reuse does not fire across aliases — measured
+    *    2×), while one more groupBy extends the existing shuffle;
+    *  - exact verify resolves BOTH pair sides in one documents scan
+    *    (pair list exploded to (doc_id, pair) and regrouped), never
+    *    re-tokenizing the corpus per side.
+    */
+  private def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns._
+    val docs = Tables.documents(s, dir)
+    val mh = minhashRows(docs, "doc_id", "text", 8)
+    val bands = mh.withColumn("band", (col("seed") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5Long(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+        x => x.getField("minhash").cast("string")), ",")).as("bkey"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val buckets = bands.groupBy("source", "band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cand = buckets
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
+    val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
+      .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
+    sets.join(wanted, Seq("doc_id"))
+      .groupBy("da", "db")
+      .agg(
+        first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
+        first(when(col("doc_id") === col("db"), col("s")), ignoreNulls = true).as("sb"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Oracle twin of [[neardupLshPairs]]: the CTE chain up to `ver`
+    * (candidate pairs + exact-Jaccard verify), shared by the q_neardup_lsh
+    * and q_dedup_clusters oracles so the pair definition cannot desync.
+    */
+  private val neardupPairsCtes: String =
+    """toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |seeds AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS seed),
+      |mh AS (
+      |  SELECT t.doc_id, s.seed,
+      |    min(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || t.tok), 1, 15))::BIGINT) AS m
+      |  FROM toks t, seeds s GROUP BY 1, 2),
+      |bands0 AS (
+      |  SELECT doc_id, seed // 4 AS band,
+      |    ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
+      |  FROM mh GROUP BY 1, 2),
+      |bands AS (SELECT b.*, d.source FROM bands0 b JOIN documents d USING (doc_id)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.source = b.source
+      |       AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+      |ver AS (
+      |  SELECT c.da, c.db,
+      |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
+      |  FROM cand c JOIN sets x ON c.da = x.doc_id JOIN sets y ON c.db = y.doc_id)""".stripMargin
 
   /** DuckDB cosine over two DOUBLE[] expressions (the oracle twin of
     * VectorFns.cosine: left-to-right list_sum matches DotProductExpr's
@@ -1383,32 +1427,22 @@ object SparkEntry {
         |WHERE cos_sim >= 0.4 ORDER BY va, vb""".stripMargin),
 
     "q_neardup_lsh" -> (
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
-        |seeds AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS seed),
-        |mh AS (
-        |  SELECT t.doc_id, s.seed,
-        |    min(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || '|' || t.tok), 1, 15))::BIGINT) AS m
-        |  FROM toks t, seeds s GROUP BY 1, 2),
-        |bands0 AS (
-        |  SELECT doc_id, seed // 4 AS band,
-        |    ('0x' || substr(md5(string_agg(m::VARCHAR, ',' ORDER BY seed)), 1, 15))::BIGINT AS bkey
-        |  FROM mh GROUP BY 1, 2),
-        |bands AS (SELECT b.*, d.source FROM bands0 b JOIN documents d USING (doc_id)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.source = b.source
-        |       AND a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
-        |ver AS (
-        |  SELECT c.da, c.db,
-        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-        |      / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j
-        |  FROM cand c JOIN sets x ON c.da = x.doc_id JOIN sets y ON c.db = y.doc_id)
-        |SELECT da, db, round(j, 6) AS jaccard FROM ver WHERE j >= 0.9
-        |ORDER BY da, db""".stripMargin),
+      s"""WITH $neardupPairsCtes
+         |SELECT da, db, round(j, 6) AS jaccard FROM ver WHERE j >= 0.9
+         |ORDER BY da, db""".stripMargin),
+
+    "q_dedup_clusters" -> (
+      s"""WITH RECURSIVE $neardupPairsCtes,
+         |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.src AS doc_id, reach.r FROM reach JOIN edges e ON e.dst = reach.doc_id
+         |)
+         |SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
+         |ORDER BY doc_id""".stripMargin),
 
     "q_asof_tolerance" -> Oracle.withTurnsAndState(
       """, u AS (
