@@ -21,9 +21,10 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     (BASELINE.md's literal sandbox pair) — run as back-to-back pairs
   *     with outlier rejection, bounded by a wall-clock budget
   *     (`SPARK_GRAFT_SCALE_BUDGET_SEC`, default 1080s across both pairs)
-  *     that stops cleanly and reports clean-pairs-so-far. Appends rows into
-  *     BENCH.md's table (at the `<!-- bench-rows -->` marker). Skipped when
-  *     SPARK_GRAFT_SCALING=0.
+  *     that stops cleanly and reports clean-pairs-so-far. Appends rows to
+  *     the untracked `bench_rows.pending.md` (folded into BENCH.md's
+  *     `<!-- bench-rows -->` marker at record time — a bench run must not
+  *     dirty the work tree). Skipped when SPARK_GRAFT_SCALING=0.
   */
 object Bench {
 
@@ -202,24 +203,17 @@ object Bench {
       median(clean.map(_.eff)), clean.size, rejected))
   }
 
-  /** Insert a row right after the `<!-- bench-rows -->` marker inside the
-    * BENCH.md table (round-1 bug: plain append landed rows after the prose
-    * BELOW the table).
+  /** Append a campaign row to the UNTRACKED side file
+    * `bench_rows.pending.md` (gitignored). r3 VERDICT #7: writing straight
+    * into tracked BENCH.md left the work tree dirty after every driver
+    * bench run; rows are folded into BENCH.md's `<!-- bench-rows -->`
+    * marker by the builder when the campaign is recorded, and the same
+    * data rides the JSON artifact regardless.
     */
   private def appendBenchRow(line: String): Unit = {
-    val p = Paths.get("BENCH.md")
-    val marker = "<!-- bench-rows -->"
-    if (!Files.exists(p)) {
-      Files.write(p,
-        ("# BENCH — measured scaling evidence\n\n" +
-          "| when | turns | turns/sec N | turns/sec 4N | efficiency (tpsN/tps4N)/4 | pairs (clean/total) | reps |\n" +
-          "|---|---|---|---|---|---|---|\n" + marker + "\n").getBytes("UTF-8"))
-    }
-    val txt = new String(Files.readAllBytes(p), "UTF-8")
-    val out =
-      if (txt.contains(marker)) txt.replace(marker, marker + "\n" + line.stripSuffix("\n"))
-      else txt + "\n" + line
-    Files.write(p, out.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
+    val p = Paths.get("bench_rows.pending.md")
+    Files.write(p, (line.stripSuffix("\n") + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
   def main(args: Array[String]): Unit = {
@@ -243,7 +237,12 @@ object Bench {
 
     // — 1. per-query timings: interleaved rounds, per-query median —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
-    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt
+    // r3 VERDICT #1a: when the scaling phase runs in the same invocation
+    // (the driver's shape), default to 2 interleaved reps — a median of 2
+    // still catches per-query regressions, and the minutes saved are spent
+    // where the evidence is scarce: scaling pairs. Explicit env wins.
+    val queryReps = sys.env.get("SPARK_GRAFT_QUERY_REPS")
+      .map(_.toInt).getOrElse(if (doScaling) 2 else 3)
     val spark0 = session(cpus)
     if (doQueries) {
       // untimed warmup: pay codegen/parquet-footer/first-shuffle costs once,
@@ -283,7 +282,11 @@ object Bench {
     // — 2. scaling evidence: both protocol pairs, wall-budgeted —
     var scalingExtras = ""
     if (doScaling) {
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1080").toLong
+      // 1260s default (r3 VERDICT #1b: was 1080): with query reps at 2 the
+      // whole-run wall shrinks, so the freed minutes buy the 1→4 campaign
+      // a 5th attempt (~190s/pair at 150k convs) — more headroom to reach
+      // ≥3 clean pairs when ambient contention rejects some
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1260").toLong
       val log832 = scala.collection.mutable.ArrayBuffer[String]()
       val log14 = scala.collection.mutable.ArrayBuffer[String]()
       val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
@@ -368,6 +371,11 @@ object Bench {
         line = compactLine("{}", effOnly)
       }
     }
+    // belt-and-braces for the driver-parse contract (r3 VERDICT #3): the
+    // same compact artifact also lands in a file, immune to output
+    // interleaving/truncation entirely
+    try Files.writeString(Paths.get("bench_result.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench_result.json write failed: $e") }
     System.err.flush()
     Thread.sleep(2000)
     println(line)

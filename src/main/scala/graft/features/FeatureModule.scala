@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *    match;
   *  - `aggs` contributes aggregate expressions to a single shared
   *    `groupBy(conv_id)` pass — Catalyst fuses ALL modules' aggregates into
-  *    one HashAggregate (musiF needs one pass per module; we need one total);
-  *  - `frames` yields extra per-conversation frames (multi-pass features
-  *    like trimmed stats or run-length) joined back on `conv_id` — small
-  *    after aggregation, co-partitioned on the same key.
+  *    one HashAggregate (musiF needs one pass per module; we need one total).
+  *    Multi-pass features (trimmed stats, run-length, session extrema) fold
+  *    into the same pass as window columns + conditional aggs — an earlier
+  *    design joined them back as separate per-conversation frames, but the
+  *    fused form needs no extra join at all.
   *
   * Per-role features use conditional aggregation over the KNOWN role set
   * (`when(role === r, ...)`) instead of a pivot — no second shuffle.
@@ -38,11 +39,6 @@ trait FeatureModule {
     * groupBy(conv_id) pass over the enriched frame.
     */
   def aggs: Seq[Column] = Nil
-
-  /** Extra per-conversation frames keyed by conv_id, joined left onto the
-    * matrix.
-    */
-  def frames(enriched: DataFrame): Seq[DataFrame] = Nil
 }
 
 object FeatureRegistry {
@@ -133,9 +129,7 @@ object FeatureRegistry {
       }
     }
     val aggExprs = ordered.flatMap(_.aggs)
-    val main = enriched.groupBy(col("conv_id")).agg(aggExprs.head, aggExprs.tail: _*)
-    val extraFrames = ordered.flatMap(_.frames(enriched))
-    extraFrames.foldLeft(main)((acc, f) => acc.join(f, Seq("conv_id"), "left"))
+    enriched.groupBy(col("conv_id")).agg(aggExprs.head, aggExprs.tail: _*)
   }
 }
 

@@ -92,9 +92,7 @@ object Windowed {
     val aggExprs = ordered.flatMap(_.aggs)
     val main = enriched.groupBy(col("conv_id"))
       .agg(aggExprs.head, aggExprs.tail: _*)
-    val extraFrames = ordered.flatMap(_.frames(enriched))
-    val joined = extraFrames.foldLeft(main)((acc, f) => acc.join(f, Seq("conv_id"), "left"))
-    val split = joined
+    val split = main
       .withColumn("window_id", col("conv_id.w").cast("int"))
       .withColumn("conv_id", col("conv_id.c"))
     split.select((Seq("conv_id", "window_id") ++
