@@ -350,7 +350,11 @@ object Bench {
     // an interleaved diagnostic line cannot land after it (r3 tail showed
     // a stderr rep line AFTER the stdout JSON), and sbt's trailing
     // "[success] Total time" line is suppressed via showSuccess := false.
-    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    // 1 decimal place in the tail copy: the full-run line measured 1893 B
+    // at 68 queries with 2dp — one more query would trip the shed guard;
+    // 1dp buys ~70 B of headroom per round of query growth (full-precision
+    // values stay on the phase-1 line)
+    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     def compactLine(qs: String, extras: String): String =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"$extras}"""

@@ -441,6 +441,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— deterministic stratified sampling (curation primitive) ———
+    // Hash-mod sampling, NOT rand(): the decision is a pure function of
+    // the row key, so the sample is identical at any parallelism / any
+    // re-run / both engines — the only sampling shape that composes with
+    // resumable pipelines at web scale (re-running a failed shard must
+    // re-pick the same rows). Stratified by role via per-stratum rates:
+    // keep all tool-role turns, 20% of user turns, 5% of the rest — the
+    // typical "downsample the majority class" curation rule.
+    "q_sample_hash" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val rate = when(col("role") === "tool", 100)
+        .when(col("role") === "user", 20).otherwise(5)
+      Tables.turns(s, dir)
+        .withColumn("__h", md5Long(concat_ws("#", col("conv_id"), col("turn_idx"))) % 100)
+        .filter(col("__h") < rate)
+        .select(col("conv_id"), col("turn_idx"), col("role"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // ——— exact per-group quantiles (p50/p90/p99 inter-turn gap) ———
+    // Spark's `percentile` is the exact sort-based form with R-7 linear
+    // interpolation — the same definition as DuckDB's quantile_cont, so
+    // the oracle matches without sketch-tolerance hand-waving. Gaps are
+    // derived in exact integer micros first (TIMESTAMP_NTZ convention),
+    // scaled to float seconds only at the aggregate input. At corpus
+    // scale the exact form is one sort per (role) group inside the
+    // HashAggregate; swap to approx_percentile when a sketch tolerance
+    // is acceptable — same plan shape, no oracle equality.
+    "q_gap_quantiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      Tables.turns(s, dir)
+        .withColumn("gap_s",
+          (LagLead.micros(col("ts")) -
+            LagLead.micros(lag(col("ts"), 1).over(w))).cast("double") / 1e6)
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("role"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_s, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(gap_s, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(gap_s, 0.99D)"), 6).as("p99"))
+        .orderBy("role")
+    }),
+
     // ——— J1 variant: bounded-staleness as-of join (48h tolerance) ———
     "q_asof_tolerance" -> ((s, dir) =>
       AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
@@ -1443,6 +1487,26 @@ object SparkEntry {
          |)
          |SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
          |ORDER BY doc_id""".stripMargin),
+
+    "q_sample_hash" -> Oracle.withTurns(
+      """SELECT conv_id, turn_idx, role FROM turns
+        |WHERE ('0x' || substr(md5(conv_id || '#' || CAST(turn_idx AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      < CASE WHEN role = 'tool' THEN 100 WHEN role = 'user' THEN 20 ELSE 5 END
+        |ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_gap_quantiles" -> Oracle.withTurns(
+      """, gaps AS (
+        |  SELECT role,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP))
+        |         - epoch_us(CAST(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS TIMESTAMP))
+        |         AS DOUBLE) / 1e6 AS gap_s
+        |  FROM turns)
+        |SELECT role, count(*) AS n_gaps,
+        |  round(quantile_cont(gap_s, 0.5), 6) AS p50,
+        |  round(quantile_cont(gap_s, 0.9), 6) AS p90,
+        |  round(quantile_cont(gap_s, 0.99), 6) AS p99
+        |FROM gaps WHERE gap_s IS NOT NULL GROUP BY role
+        |ORDER BY role""".stripMargin),
 
     "q_asof_tolerance" -> Oracle.withTurnsAndState(
       """, u AS (

@@ -146,4 +146,26 @@ object StreamFeatures {
       .groupBy(window(col("ts"), size, slide), col("conv_id"), col("role"))
       .agg(count(lit(1)).as("n_turns"))
       .select(col("window.start").as("w_start"), col("conv_id"), col("role"), col("n_turns"))
+
+  /** Streaming exact dedup over an incoming document stream — the
+    * ingestion-time form of the batch `q_dedup_exact` keeper mapping: keep
+    * the FIRST document per content fingerprint, drop later exact copies
+    * across micro-batches.
+    *
+    * State shape at web scale: `dropDuplicatesWithinWatermark` keys the
+    * dedup state on the 8-byte fingerprint and EVICTS entries once the
+    * watermark passes them — bounded state for an unbounded stream (a
+    * plain `dropDuplicates` on a stream retains every key forever, which
+    * cannot run against a 10¹²-doc firehose). The contract is therefore
+    * time-bounded exactness: copies arriving within the watermark bound
+    * of the original are dropped; a copy arriving later than the bound
+    * may re-emit — the same contract batch re-dedup on the sink closes.
+    */
+  def dedupExact(docs: DataFrame, watermark: String = "24 hours",
+                 textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("fp", graft.functions.TextFns.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
 }

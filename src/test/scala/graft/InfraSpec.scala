@@ -232,6 +232,29 @@ class InfraSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming dedup: first doc per fingerprint wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamFeatures.dedupExact(df, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    // batch 1: two distinct docs + one in-batch exact copy
+    mem.addData((1L, "alpha beta", ts("2024-01-01 00:00:00")),
+      (2L, "gamma", ts("2024-01-01 00:00:10")),
+      (3L, "alpha beta", ts("2024-01-01 00:00:20")))
+    q.processAllAvailable()
+    // batch 2: a cross-batch copy (inside the watermark bound — must drop)
+    // and a genuinely new doc
+    mem.addData((4L, "gamma", ts("2024-01-01 00:30:00")),
+      (5L, "delta", ts("2024-01-01 00:30:05")))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    q.stop()
+    assert(kept == Seq(1L, 2L, 5L),
+      s"expected first-wins keepers 1,2,5 — got $kept")
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic sigs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.fromDocuments(docs)
