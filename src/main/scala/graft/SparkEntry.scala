@@ -485,6 +485,26 @@ object SparkEntry {
         .orderBy("role")
     }),
 
+    // ——— incremental feature maintenance (mergeable partials) ———
+    // The feature-store upsert path: slice the corpus in time, aggregate
+    // each slice to per-conversation sufficient statistics, MERGE the
+    // partials, finalize — and the result must equal a single-pass
+    // aggregate over everything (the oracle computes exactly that direct
+    // form, so the equality IS what this query checks). Split at
+    // turn_idx 20: short conversations exist only in the first slice,
+    // exercising the one-sided merge path; moments come from exact
+    // integer power sums, so both engines run the identical IEEE
+    // sequence at finalize.
+    "q_incremental" -> ((s, dir) => {
+      import graft.features.Incremental
+      val t = Tables.turns(s, dir)
+      Incremental.finalize(
+        Incremental.merge(
+          Incremental.partials(t.filter(col("turn_idx") < 20)),
+          Incremental.partials(t.filter(col("turn_idx") >= 20))))
+        .orderBy("conv_id")
+    }),
+
     // ——— J1 variant: bounded-staleness as-of join (48h tolerance) ———
     "q_asof_tolerance" -> ((s, dir) =>
       AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
@@ -1507,6 +1527,50 @@ object SparkEntry {
         |  round(quantile_cont(gap_s, 0.99), 6) AS p99
         |FROM gaps WHERE gap_s IS NOT NULL GROUP BY role
         |ORDER BY role""".stripMargin),
+
+    // Direct single-pass form — the Spark side computes the SAME numbers
+    // via slice → partials → merge → finalize, so this equality check is
+    // the incremental-maintenance correctness statement itself.
+    "q_incremental" -> Oracle.withTurns(
+      """, base AS (
+        |  SELECT conv_id, role, tool,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |           - epoch_us(CAST(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS TIMESTAMP))
+        |           > 86400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM turns),
+        |agg AS (
+        |  SELECT conv_id,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+        |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+        |    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_role,
+        |    count(tool) AS n_tool_calls,
+        |    CAST(sum(len) AS DOUBLE) AS s1,
+        |    CAST(sum(len * len) AS DOUBLE) AS s2,
+        |    CAST(sum(len * len * len) AS DOUBLE) AS s3,
+        |    CAST(sum(len * len * len * len) AS DOUBLE) AS s4,
+        |    min(len) AS len_min, max(len) AS len_max,
+        |    min(us) AS first_us, max(us) AS last_us,
+        |    CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
+        |  FROM base GROUP BY 1)
+        |SELECT conv_id, n AS n_turns, n_user, n_assistant, n_tool_role,
+        |  n_tool_calls,
+        |  round(s1 / n, 6) AS len_mean,
+        |  round(CASE WHEN n >= 2 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END, 6) AS len_std,
+        |  round(CASE WHEN n >= 3 AND (s2 / n - (s1 / n) * (s1 / n)) > 0 THEN
+        |      ((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |        / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n))))
+        |      * sqrt(n * (n - 1)) / (n - 2) END, 6) AS len_skew,
+        |  round(CASE WHEN n >= 4 AND (s2 / n - (s1 / n) * (s1 / n)) > 0 THEN
+        |      ((n + 1) * ((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |        / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3) + 6)
+        |      * (n - 1) / ((n - 2) * (n - 3)) END, 6) AS len_kurt,
+        |  len_min, len_max, n_sessions,
+        |  last_us - first_us AS duration_us
+        |FROM agg ORDER BY conv_id""".stripMargin),
 
     "q_asof_tolerance" -> Oracle.withTurnsAndState(
       """, u AS (

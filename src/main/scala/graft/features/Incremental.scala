@@ -1,0 +1,144 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.LagLead
+
+/** Incremental feature maintenance — the feature-store upsert pattern the
+  * batch flagship cannot express: when a new slice of turns is appended
+  * (streaming ingestion, a daily partition, a backfill shard), update each
+  * conversation's feature row by MERGING per-conversation sufficient
+  * statistics instead of re-aggregating the whole corpus. At 10¹² turns a
+  * full recompute per ingestion cycle is the difference between a feasible
+  * pipeline and an infeasible one; with mergeable partials the cycle cost
+  * is O(new slice) + O(|touched conversations|).
+  *
+  * Reference analog: musiF has no incremental path (it re-extracts a score
+  * from scratch per run — extract.py:203-311); this is part of the
+  * beyond-reference web-scale tier, and the natural companion of the
+  * checkpoint/resume surface (`graft.checkpoint.Snapshot` stores exactly
+  * these partials between cycles).
+  *
+  * Statistic choice: everything here is a CLASSIC mergeable summary —
+  * counts, conditional counts, min/max, first/last timestamps, raw power
+  * sums S1..S4 of text length (exact BIGINTs: len ≤ ~10³ keeps len⁴·rows
+  * far under 2⁶³ for any realistic conversation), and the slice's
+  * gap-session count with its boundary timestamps so sessions stitch
+  * across slices the way the streaming sessionizer carries state across
+  * micro-batches. Moments come out of the power sums at [[finalize]] with
+  * the same *, /, sqrt op sequence as [[graft.functions.Stats]]'s Pow
+  * forms — on exact integer sums the formula is the same IEEE sequence in
+  * any engine, so the DuckDB oracle matches bit-for-bit.
+  *
+  * CONTRACT: [[merge]](a, b) requires the two slices to be time-disjoint
+  * per conversation with every b-turn at-or-after every a-turn (the
+  * append-only ingestion shape). Overlapping or interleaved slices
+  * silently produce wrong session counts — the caller owns slice
+  * discipline, same as any watermark contract.
+  */
+object Incremental {
+
+  /** Per-conversation sufficient statistics of one slice of turns. */
+  def partials(turns: DataFrame,
+               gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val len = length(col("text")).cast("long")
+    val us = LagLead.micros(col("ts"))
+    val gapBreak = when(
+      us - LagLead.micros(lag(col("ts"), 1).over(w)) > gapSeconds * 1000000L, 1L
+    ).otherwise(0L)
+    turns
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        len.as("__len"), us.as("__us"), gapBreak.as("__brk"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_role"),
+        count(col("tool")).as("n_tool_calls"),
+        sum(col("__len")).as("s1"),
+        sum(col("__len") * col("__len")).as("s2"),
+        sum(col("__len") * col("__len") * col("__len")).as("s3"),
+        sum(col("__len") * col("__len") * col("__len") * col("__len")).as("s4"),
+        min(col("__len")).as("len_min"),
+        max(col("__len")).as("len_max"),
+        min(col("__us")).as("first_us"),
+        max(col("__us")).as("last_us"),
+        (sum(col("__brk")) + lit(1L)).as("sessions"))
+  }
+
+  /** Merge two partials frames (b's turns at-or-after a's, per contract).
+    * Conversations present in only one side pass through unchanged. One
+    * shuffle on conv_id — at upsert time `a` is the stored state and `b`
+    * is the new slice's partials, so the join is |touched convs|-sized on
+    * the b side and prunable on the a side.
+    */
+  def merge(a: DataFrame, b: DataFrame,
+            gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
+    val bothSum = Seq("n", "n_user", "n_assistant", "n_tool_role",
+      "n_tool_calls", "s1", "s2", "s3", "s4")
+    def l(c: String) = col("l." + c)
+    def r(c: String) = col("r." + c)
+    // sum semantics under nulls: a slice whose values were ALL null has a
+    // null power sum (engine `sum` ignores nulls, all-null → null); the
+    // merged sum must stay null only when BOTH sides are — coalescing a
+    // missing/null side to 0 otherwise, so a one-sided conversation or a
+    // half-null column totals exactly like a single-pass aggregate
+    def addNullAware(c: String): Column =
+      when(l(c).isNull && r(c).isNull, lit(null))
+        .otherwise(coalesce(l(c), lit(0L)) + coalesce(r(c), lit(0L))).as(c)
+    // b's first session continues a's last unless the boundary gap breaks
+    val stitched = when(
+      r("first_us") - l("last_us") > gapSeconds * 1000000L,
+      l("sessions") + r("sessions")
+    ).otherwise(l("sessions") + r("sessions") - 1L)
+    a.alias("l").join(b.alias("r"), l("conv_id") === r("conv_id"), "full_outer")
+      .select(
+        coalesce(l("conv_id"), r("conv_id")).as("conv_id") +:
+        bothSum.map(addNullAware) :+
+        least(l("len_min"), r("len_min")).as("len_min") :+
+        greatest(l("len_max"), r("len_max")).as("len_max") :+
+        least(l("first_us"), r("first_us")).as("first_us") :+
+        greatest(l("last_us"), r("last_us")).as("last_us") :+
+        coalesce(stitched, l("sessions"), r("sessions")).as("sessions"): _*)
+  }
+
+  /** Feature columns from merged partials — pure per-row column math, no
+    * further aggregation. Moment formulas are the scalar twins of
+    * `Stats.stddevSampPow`/`skewnessSamplePow` (identical op order).
+    */
+  def finalize(p: DataFrame): DataFrame = {
+    val n = col("n").cast("double")
+    val m = col("s1").cast("double") / n
+    val v = col("s2").cast("double") / n - m * m
+    val m3 = col("s3").cast("double") / n -
+      lit(3) * m * (col("s2").cast("double") / n) + lit(2) * m * m * m
+    val m4 = col("s4").cast("double") / n -
+      lit(4) * m * (col("s3").cast("double") / n) +
+      lit(6) * m * m * (col("s2").cast("double") / n) - lit(3) * m * m * m * m
+    val std = when(n >= 2, sqrt((col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) / (n - 1)))
+    val skew = when(n >= 3 && v > 0,
+      (m3 / (v * sqrt(v))) * sqrt(n * (n - 1)) / (n - 2))
+    val kurt = when(n >= 4 && v > 0,
+      ((n + 1) * (m4 / (v * v) - 3) + lit(6)) * (n - 1) / ((n - 2) * (n - 3)))
+    p.select(
+      col("conv_id"),
+      col("n").as("n_turns"),
+      col("n_user"), col("n_assistant"), col("n_tool_role"), col("n_tool_calls"),
+      (col("s1").cast("double") / n).as("len_mean_raw"),
+      std.as("len_std_raw"),
+      skew.as("len_skew_raw"),
+      kurt.as("len_kurt_raw"),
+      col("len_min"), col("len_max"),
+      col("sessions").as("n_sessions"),
+      (col("last_us") - col("first_us")).as("duration_us"))
+      .withColumn("len_mean", round(col("len_mean_raw"), 6))
+      .withColumn("len_std", round(col("len_std_raw"), 6))
+      .withColumn("len_skew", round(col("len_skew_raw"), 6))
+      .withColumn("len_kurt", round(col("len_kurt_raw"), 6))
+      .drop("len_mean_raw", "len_std_raw", "len_skew_raw", "len_kurt_raw")
+  }
+}

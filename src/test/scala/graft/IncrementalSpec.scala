@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.features.Incremental
+
+/** Incremental feature maintenance: slicing the corpus in time, merging
+  * per-conversation partials, and finalizing must equal the single-pass
+  * aggregate — at any split point, any association order. */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 convs: a 7-turn with one >24h session break, a 2-turn short one
+  // (vanishes from late slices), and one with a null text (null power-sum
+  // path). ts gaps in hours except the 30h break in conv a.
+  private def fixture: DataFrame = {
+    val rows = Seq(
+      ("a", 0, "system", "sys", None: Option[String], 0L),
+      ("a", 1, "user", "hello there", None, 1L),
+      ("a", 2, "assistant", "hi", Some("tool_1"), 2L),
+      ("a", 3, "user", "question about things", None, 3L),
+      ("a", 4, "assistant", "answer", None, 33L), // 30h gap -> new session
+      ("a", 5, "user", "more", None, 34L),
+      ("a", 6, "assistant", "done and dusted", Some("tool_2"), 35L),
+      ("b", 0, "system", "s", None, 0L),
+      ("b", 1, "user", "short conv", None, 1L),
+      ("c", 0, "system", null, None, 0L),
+      ("c", 1, "user", "only non-null text", None, 50L)) // 50h -> break
+    rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "h")
+      .withColumn("ts", timestamp_micros(col("h") * 3600L * 1000000L))
+      .drop("h")
+  }
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.orderBy("conv_id").collect().map(_.toString).toSeq
+
+  test("split-merge-finalize equals single-pass at every split point") {
+    val t = fixture
+    val direct = collectSorted(Incremental.finalize(Incremental.partials(t)))
+    for (k <- 1 to 6) {
+      val got = collectSorted(Incremental.finalize(Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < k)),
+        Incremental.partials(t.filter(col("turn_idx") >= k)))))
+      assert(got == direct, s"split at turn_idx=$k diverged")
+    }
+  }
+
+  test("three-way merge associates") {
+    val t = fixture
+    val Seq(p1, p2, p3) = Seq(
+      t.filter(col("turn_idx") < 2),
+      t.filter(col("turn_idx") >= 2 && col("turn_idx") < 5),
+      t.filter(col("turn_idx") >= 5)).map(Incremental.partials(_))
+    val leftAssoc = collectSorted(Incremental.finalize(
+      Incremental.merge(Incremental.merge(p1, p2), p3)))
+    val rightAssoc = collectSorted(Incremental.finalize(
+      Incremental.merge(p1, Incremental.merge(p2, p3))))
+    val direct = collectSorted(Incremental.finalize(Incremental.partials(t)))
+    assert(leftAssoc == direct)
+    assert(rightAssoc == direct)
+  }
+
+  test("session stitch: boundary gap splits or joins sessions correctly") {
+    val t = fixture
+    // split exactly at conv a's 30h break (turn 4): slice sessions must
+    // stitch to 2, not 1 (gap breaks) — and at turn 3 (1h boundary gap)
+    // the slices' sessions must fuse back to 2 total, not 3
+    for (k <- Seq(3, 4)) {
+      val merged = Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < k)),
+        Incremental.partials(t.filter(col("turn_idx") >= k)))
+      val sess = merged.filter(col("conv_id") === "a")
+        .select("sessions").as[Long].head()
+      assert(sess == 2L, s"split at $k: sessions=$sess")
+    }
+  }
+
+  test("all-null-text slice keeps null power sums until a real value merges in") {
+    val t = fixture
+    // conv c turn 0 has null text: a slice holding only that turn has
+    // null s1..s4; merging the non-null slice must produce the same
+    // moments as the direct pass (sum-ignores-nulls semantics)
+    val merged = Incremental.finalize(Incremental.merge(
+      Incremental.partials(t.filter(col("turn_idx") < 1)),
+      Incremental.partials(t.filter(col("turn_idx") >= 1))))
+    val direct = Incremental.finalize(Incremental.partials(t))
+    assert(collectSorted(merged) == collectSorted(direct))
+    // and a conv whose every text is null stays null end-to-end
+    val allNull = Seq(("z", 0, "user", null: String, None: Option[String]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool")
+      .withColumn("ts", timestamp_micros(lit(0L)))
+    val z = Incremental.finalize(Incremental.merge(
+      Incremental.partials(allNull), Incremental.partials(allNull.limit(0))))
+    assert(z.select("len_mean").as[Option[Double]].head().isEmpty)
+  }
+}
