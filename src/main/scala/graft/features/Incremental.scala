@@ -142,3 +142,66 @@ object Incremental {
       .drop("len_mean_raw", "len_std_raw", "len_skew_raw", "len_kurt_raw")
   }
 }
+
+/** Durable generation store for [[Incremental]] partials — the sandbox
+  * analog of `MERGE INTO feature_store USING new_slice` on an Iceberg
+  * table (same honest-substitute contract as [[graft.checkpoint.Snapshot]]:
+  * parquet data + a tiny pointer file standing in for the catalog's
+  * current-snapshot pointer; a real Iceberg binding swaps the write path
+  * one-for-one).
+  *
+  * Layout: `dir/gen-K/` parquet partials per upsert cycle, `dir/_CURRENT`
+  * holding K. Each upsert reads gen K, merges the new slice's partials,
+  * writes gen K+1, then flips the pointer with an atomic rename — a crash
+  * mid-cycle leaves an orphan gen-K+1 directory and an intact pointer, so
+  * the store is never observed half-written and the cycle is safely
+  * re-runnable (same re-run contract as Snapshot's shard manifest).
+  * Generations older than the previous one are dropped after the flip.
+  */
+object IncrementalStore {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import org.apache.spark.sql.SparkSession
+
+  private def currentGen(dir: String): Option[Int] = {
+    val p = Paths.get(dir, "_CURRENT")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
+  }
+
+  /** Merge one appended slice into the store; returns the new partials. */
+  def upsert(spark: SparkSession, dir: String, slice: DataFrame,
+             gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
+    Files.createDirectories(Paths.get(dir))
+    val sliceP = Incremental.partials(slice, gapSeconds)
+    val cur = currentGen(dir)
+    val merged = cur match {
+      case Some(g) =>
+        Incremental.merge(spark.read.parquet(s"$dir/gen-$g"), sliceP, gapSeconds)
+      case None => sliceP
+    }
+    val next = cur.map(_ + 1).getOrElse(0)
+    merged.write.mode("overwrite").parquet(s"$dir/gen-$next")
+    val tmp = Paths.get(dir, "_CURRENT.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, Paths.get(dir, "_CURRENT"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // retention: keep current + previous (time-travel by one cycle, like a
+    // short Iceberg snapshot-expiry window)
+    (0 until next - 1).foreach { g =>
+      val old = Paths.get(dir, s"gen-$g")
+      if (Files.exists(old)) {
+        val stream = Files.walk(old)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally stream.close()
+      }
+    }
+    spark.read.parquet(s"$dir/gen-$next")
+  }
+
+  /** Current feature matrix of the store. */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    currentGen(dir) match {
+      case Some(g) => Incremental.finalize(spark.read.parquet(s"$dir/gen-$g"))
+      case None => throw new IllegalStateException(s"no generations in $dir")
+    }
+}

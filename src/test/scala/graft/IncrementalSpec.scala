@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.features.Incremental
@@ -73,6 +74,21 @@ class IncrementalSpec extends SparkSpec {
         .select("sessions").as[Long].head()
       assert(sess == 2L, s"split at $k: sessions=$sess")
     }
+  }
+
+  test("store: three upsert cycles equal the direct pass; old gens expire") {
+    val t = fixture
+    val dir = Files.createTempDirectory("inc_store").toString
+    graft.features.IncrementalStore.upsert(spark, dir, t.filter(col("turn_idx") < 2))
+    graft.features.IncrementalStore.upsert(spark, dir,
+      t.filter(col("turn_idx") >= 2 && col("turn_idx") < 5))
+    graft.features.IncrementalStore.upsert(spark, dir, t.filter(col("turn_idx") >= 5))
+    val got = collectSorted(graft.features.IncrementalStore.features(spark, dir))
+    val direct = collectSorted(Incremental.finalize(Incremental.partials(t)))
+    assert(got == direct)
+    // retention: only gen-1 and gen-2 remain after the third cycle
+    val gens = new java.io.File(dir).list().filter(_.startsWith("gen-")).sorted.toSeq
+    assert(gens == Seq("gen-1", "gen-2"), s"gens=$gens")
   }
 
   test("all-null-text slice keeps null power sums until a real value merges in") {
