@@ -16,7 +16,8 @@ import java.nio.file.{Files, Paths}
   *     --config example.yml --set output=/tmp/out --set mode=windowed
   *
   * Config keys (see `example.yml`): input, output, mode
-  * (conversation|windowed), format (parquet|csv), modules (list; empty =
+  * (conversation|windowed|incremental — incremental also needs state_dir:
+  * the slice-upsert generation store), format (parquet|csv), modules (list; empty =
   * all, deps auto-resolved), window.size/overlap, session_gap_seconds,
   * shards (>1 → resumable snapshot write with per-shard lineage), post.*
   * (drop_prefixes/suffixes/contains, row_null_max, col_null_max,
@@ -83,6 +84,26 @@ object Main {
             Some(spark.read.parquet(s"$input/state")) else None)
       else
         (Tables.turns(spark, input), Some(Tables.state(spark, input)))
+
+    // incremental mode: treat the input as ONE APPENDED SLICE, upsert its
+    // per-conversation partials into the durable generation store
+    // (config `state_dir`), and write the store's finalized features — the
+    // nightly-ingestion shape: cycle cost O(slice), not O(corpus). The
+    // standard post-process and format knobs apply to the feature output.
+    if (cfg.str("mode").contains("incremental")) {
+      val stateDir = cfg.str("state_dir").getOrElse(
+        throw new IllegalArgumentException("mode=incremental requires 'state_dir'"))
+      val gap = cfg.long("session_gap_seconds", SparkEntry.SessionGapSeconds)
+      features.IncrementalStore.upsert(spark, stateDir, turns, gap)
+      val m = postProcess(features.IncrementalStore.features(spark, stateDir), cfg)
+      cfg.str("format").getOrElse("parquet") match {
+        case "csv"     => PostProcess.saveCsv(m, output)
+        case "parquet" => PostProcess.saveParquet(m, output)
+        case other     => throw new IllegalArgumentException(s"format parquet|csv, got $other")
+      }
+      System.err.println(s"[graft] incremental upsert done → $output (state: $stateDir)")
+      return
+    }
 
     val shards = cfg.int("shards", 1)
     val fmt = cfg.str("format").getOrElse("parquet")

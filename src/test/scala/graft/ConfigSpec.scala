@@ -111,6 +111,29 @@ class ConfigSpec extends SparkSpec {
     assert(!back.columns.contains("len_mean")) // textstats not selected
   }
 
+  test("Main incremental mode: two slice upserts equal the single-pass features") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val t = Tables.turns(spark, "/root/testdata/sf0.001")
+    t.filter(col("turn_idx") < 10).write.parquet(s"$base/slice1/turns")
+    t.filter(col("turn_idx") >= 10).write.parquet(s"$base/slice2/turns")
+    def cycle(slice: String, out: String): Unit = Main.run(spark, GraftConfig.fromLayers(
+      MiniYaml.parse(
+        s"""input: $base/$slice
+           |output: $base/$out
+           |mode: incremental
+           |state_dir: $base/state
+           |""".stripMargin)))
+    cycle("slice1", "out1")
+    cycle("slice2", "out2")
+    val got = spark.read.parquet(s"$base/out2")
+      .orderBy("conv_id").collect().map(_.toString).toSeq
+    val direct = graft.process.PostProcess.orderColumns(
+        graft.features.Incremental.finalize(graft.features.Incremental.partials(t)))
+      .orderBy("conv_id").collect().map(_.toString).toSeq
+    assert(got == direct)
+  }
+
   test("Main resumable shards: config shards>1 writes manifest lineage") {
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/mx"
     val cfg = GraftConfig.fromLayers(MiniYaml.parse(
