@@ -46,13 +46,16 @@ object Components {
       // each node's best neighbor label this round
       val prop = sym.join(lbl.select(col("node").as("dst"), col("label").as("dlbl")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("dlbl")).as("nlbl"))
+      // carry an improved-this-round flag in the frame itself: convergence
+      // is then one cheap max() over the already-materialized checkpoint
+      // instead of a next⋈previous comparison join per round
       val next = lbl.join(prop, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nlbl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlbl"), col("label"))).as("label"),
+          (coalesce(col("nlbl"), col("label")) < col("label")).cast("int").as("__chg"))
         .localCheckpoint()
-      converged = next.join(lbl.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
-      lbl = next
+      converged = next.agg(coalesce(max(col("__chg")), lit(0))).head.getInt(0) == 0
+      lbl = next.drop("__chg")
     }
     require(converged, s"component labels did not converge in $maxIters rounds " +
       "(giant-diameter component — use a star-contraction variant)")
