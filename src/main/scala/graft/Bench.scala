@@ -19,9 +19,16 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   *     SAME input files at BOTH protocol pairs — local[1]→local[4] (the
   *     bandwidth-uncontended N→4N-node proxy) AND local[8]→local[32]
   *     (BASELINE.md's literal sandbox pair) — run as back-to-back pairs
-  *     with outlier rejection, bounded by a wall-clock budget
-  *     (`SPARK_GRAFT_SCALE_BUDGET_SEC`, default 1080s across both pairs)
-  *     that stops cleanly and reports clean-pairs-so-far. Appends rows to
+  *     with outlier rejection AND contention rejection-for-cause (r5:
+  *     /proc/stat + /proc/self/stat deltas around every timed side split
+  *     host CPU into ours/idle/steal/other-tenants; a side where other
+  *     tenants took > SPARK_GRAFT_CONTENTION_MAX of the host is a
+  *     contended measurement — logged with raw ms + telemetry, excluded
+  *     up front, and retried within budget, so a contended campaign is
+  *     self-evidently contended in the artifact itself), bounded by a
+  *     wall-clock budget (`SPARK_GRAFT_SCALE_BUDGET_SEC`, default 1260s
+  *     across both pairs) that stops cleanly and reports
+  *     clean-pairs-so-far. Appends rows to
   *     the untracked `bench_rows.pending.md` (folded into BENCH.md's
   *     `<!-- bench-rows -->` marker at record time — a bench run must not
   *     dirty the work tree). Skipped when SPARK_GRAFT_SCALING=0.
@@ -88,25 +95,66 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  final case class ScalePair(rep: Int, tLow: Double, tHigh: Double) {
+  /** One /proc snapshot: host-wide jiffies (total / idle+iowait / steal,
+    * first line of /proc/stat) and THIS process's utime+stime jiffies
+    * (/proc/self/stat — the forked bench JVM, which in local mode contains
+    * every Spark executor thread). Deltas across a timed run split the
+    * host's CPU time into ours / idle / stolen / OTHER TENANTS — the last
+    * being the contention signal three rounds of driver artifacts lacked.
+    */
+  private final case class CpuSnap(total: Long, idle: Long, steal: Long, self: Long)
+  private def cpuSnap(): CpuSnap = try {
+    val host = Files.readString(Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+    val total = host.sum
+    val idle = host(3) + (if (host.length > 4) host(4) else 0L)
+    val steal = if (host.length > 7) host(7) else 0L
+    val self0 = Files.readString(Paths.get("/proc/self/stat"))
+    // comm (field 2) may contain spaces/parens — fields resume after ')'
+    val rest = self0.substring(self0.lastIndexOf(')') + 2).split(" ")
+    CpuSnap(total, idle, steal, rest(11).toLong + rest(12).toLong) // utime+stime
+  } catch { case _: Throwable => CpuSnap(0, 0, 0, 0) }
+
+  /** Telemetry of one timed side: raw wall ms with its epoch start (three
+    * identical one-decimal walls in the r4 artifact were indistinguishable
+    * from a clamp — raw ms make that impossible), plus the fraction of
+    * host CPU time spent in OTHER processes (`ext`) and hypervisor steal
+    * (`st`) during the run.
+    */
+  final case class SideStat(sec: Double, startEpochMs: Long, wallMs: Long,
+                            extFrac: Double, stealFrac: Double) {
+    def contention: Double = extFrac + stealFrac
+    def brief: String = f"${wallMs}ms(@$startEpochMs ext=$extFrac%.2f st=$stealFrac%.2f)"
+  }
+  object SideStat {
+    val empty: SideStat = SideStat(0.0, 0L, 0L, 0.0, 0.0)
+  }
+
+  final case class ScalePair(rep: Int, tLow: Double, tHigh: Double,
+                             low: SideStat = SideStat.empty,
+                             high: SideStat = SideStat.empty) {
     def eff: Double = tLow / tHigh / 4.0
+    /** Worst-side fraction of host CPU consumed by other tenants + steal. */
+    def contention: Double = math.max(low.contention, high.contention)
   }
 
   final case class ScaleResult(nLow: Int, turns: Long, tpsLow: Double,
                                tpsHigh: Double, eff: Double,
-                               clean: Int, rejected: Int) {
+                               clean: Int, rejected: Int, contended: Int,
+                               maxExt: Double) {
     // an efficiency median ABOVE 1.0 is physically implausible on identical
     // work: it means the low-parallelism sides were systematically slowed
     // by ambient load during the campaign window (individual >1.05 pairs
     // are rejected, but a whole contended campaign can median at ~1.0x).
     // Flag it in the artifact rather than let it read as a gamed gate.
     private def note: String =
-      if (eff > 1.0) ""","low_side_contended":true""" else ""
+      (if (eff > 1.0) ""","low_side_contended":true""" else "") +
+        (if (contended > 0) s""","contended_pairs":$contended""" else "")
     def json: String =
-      f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected$note}"""
+      f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected,"max_ext_cpu":$maxExt%.2f$note}"""
     /** Byte-lean form for the final tail-window line. */
     def jsonCompact: String =
-      f"""{"turns":$turns,"n_low":$nLow,"tps_n":$tpsLow%.0f,"tps_4n":$tpsHigh%.0f,"clean_pairs":$clean,"rejected_pairs":$rejected$note}"""
+      f"""{"turns":$turns,"n_low":$nLow,"tps_n":$tpsLow%.0f,"tps_4n":$tpsHigh%.0f,"clean_pairs":$clean,"rejected_pairs":$rejected,"ext":$maxExt%.2f$note}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -154,8 +202,18 @@ object Bench {
     val minClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_CLEAN", "3").toInt
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_PAIRS", "6").toInt
     val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "192").toInt
+    // reject-for-cause threshold: a side during which other tenants (+
+    // steal) consumed more than this fraction of HOST CPU time is a
+    // contended measurement, not an outlier — it is excluded from the
+    // campaign up front (before min-anchoring) and does NOT consume a
+    // pair attempt, so a bad stretch is ridden out within the wall
+    // budget. 0.15 of a 32-core host ≈ 5 external cores — enough to bend
+    // either side of a pair (measured r4: the driver's contended window
+    // ran local[32] 6-10× slow while campaigns an hour earlier were
+    // clean).
+    val contMax = sys.env.getOrElse("SPARK_GRAFT_CONTENTION_MAX", "0.15").toDouble
 
-    def timedRun(cores: Int): Double = {
+    def timedRun(cores: Int): SideStat = {
       val s = session(cores, parts, forScaling = true)
       // sessions share one JVM: collect the previous run's garbage OUTSIDE
       // the timed section so GC debt doesn't land on a random side. JIT/
@@ -163,33 +221,48 @@ object Bench {
       // (one JVM-wide codegen cache) — per-pair warm runs burned ~40% of
       // the r3 wall budget at local[1] and starved the second pair type.
       System.gc()
+      val c0 = cpuSnap()
+      val m0 = System.currentTimeMillis()
       val sec = flagshipRun(s, corpusDir)
+      val m1 = System.currentTimeMillis()
+      val c1 = cpuSnap()
       s.stop()
-      sec
+      val dTot = (c1.total - c0.total).toDouble
+      val ext = if (dTot > 0)
+        math.max(0.0, (c1.total - c0.total) - (c1.idle - c0.idle) -
+          (c1.steal - c0.steal) - (c1.self - c0.self)) / dTot else 0.0
+      val st = if (dTot > 0) (c1.steal - c0.steal) / dTot else 0.0
+      SideStat(sec, m0, m1 - m0, ext, st)
     }
 
     val pairs = scala.collection.mutable.ArrayBuffer[ScalePair]()
-    var r = 0
+    var r = 0          // measurement attempts that entered the campaign
+    var contended = 0  // attempts rejected for cause (never enter `pairs`)
     var outOfTime = System.nanoTime() >= deadlineNs
     if (outOfTime)
       repLog += s"local[$nLow]→local[${nLow * 4}]: skipped (wall budget exhausted)"
     while (!outOfTime && r < maxPairs &&
            (r < minClean || cleanPairs(pairs.toSeq).size < minClean)) {
-      r += 1
-      val tLow = timedRun(nLow)
-      val tHigh = timedRun(nLow * 4)
-      val p = ScalePair(r, tLow, tHigh)
-      pairs += p
-      val msg = f"rep $r: local[$nLow]=$tLow%.1fs local[${nLow * 4}]=$tHigh%.1fs eff=${p.eff}%.3f"
+      val low = timedRun(nLow)
+      val high = timedRun(nLow * 4)
+      val p = ScalePair(r + 1, low.sec, high.sec, low, high)
+      val isContended = p.contention > contMax
+      val tag = if (isContended) f" CONTENDED(${p.contention}%.2f>$contMax%.2f)" else ""
+      val msg = f"rep ${p.rep}: local[$nLow]=${low.sec}%.1fs local[${nLow * 4}]=${high.sec}%.1fs " +
+        f"eff=${p.eff}%.3f | low ${low.brief} high ${high.brief}$tag"
       System.err.println(s"[bench] $msg")
       repLog += msg
+      if (isContended) contended += 1 // rejected-for-cause: retry within budget
+      else { r += 1; pairs += p }
       if (System.nanoTime() >= deadlineNs) {
         outOfTime = true
-        repLog += s"wall budget reached after $r pair(s) at local[$nLow]→local[${nLow * 4}]"
+        repLog += s"wall budget reached after ${r + contended} attempt(s) at local[$nLow]→local[${nLow * 4}]"
       }
     }
     val clean = cleanPairs(pairs.toSeq)
     val rejected = pairs.size - clean.size
+    if (contended > 0)
+      repLog += s"rejected-for-cause $contended contended attempt(s) (ext+steal > $contMax of host CPU)"
     if (rejected > 0)
       repLog += s"rejected ${rejected} outlier pair(s): " +
         pairs.filterNot(clean.contains).map(p => f"rep ${p.rep} (eff=${p.eff}%.3f)").mkString(", ")
@@ -200,7 +273,8 @@ object Bench {
     } else Some(ScaleResult(nLow, nTurns,
       median(clean.map(p => nTurns / p.tLow)),
       median(clean.map(p => nTurns / p.tHigh)),
-      median(clean.map(_.eff)), clean.size, rejected))
+      median(clean.map(_.eff)), clean.size, rejected, contended,
+      if (clean.isEmpty) 0.0 else clean.map(_.contention).max))
   }
 
   /** Append a campaign row to the UNTRACKED side file
@@ -224,16 +298,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
-    // ~7.2M turns (r4: 100k→150k convs): the r4 flagship plan cut the
-    // per-run serial component to ~6.6s (measured from rep pairs:
-    // (4·t4−t1)/3), so a larger parallel section W raises the ideal
-    // 1→4 efficiency ceiling from ~0.84 to ~0.89 while a pair still
-    // costs ~190s — 3-4 pairs plus the 8→32 slice fit the default
-    // 1080s budget, and the FULL default run (3 query reps + both
-    // scaling campaigns) stays well inside the driver's bench timeout
-    // (the r2 protocol at 160k convs + 10 max pairs did not, and was
-    // killed with nothing parsed)
-    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "150000").toLong
+    // ~4.8M turns (r5: 150k→100k convs, VERDICT r4 #1c): a 1→4 pair costs
+    // ~130s instead of ~190s, so 6-8 attempts fit the 1260s budget and the
+    // campaign can ride out a contended stretch (contended attempts are
+    // rejected-for-cause and retried — see SPARK_GRAFT_CONTENTION_MAX).
+    // The ideal 1→4 efficiency ceiling dips only slightly (serial
+    // component ~6.6s against a ~90s local[1] parallel section ≈ 0.87);
+    // clean-window campaigns at 150k measured 0.83-0.88, and evidence
+    // robustness under contention is worth more than the last ceiling
+    // percent.
+    val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "100000").toLong
 
     // — 1. per-query timings: interleaved rounds, per-query median —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
@@ -334,7 +408,7 @@ object Bench {
       (s14.map(_ -> log14).toSeq ++ s832.map(_ -> log832).toSeq).foreach {
         case (r, log) =>
           appendBenchRow(
-            f"| ${java.time.Instant.now()} (local[${r.nLow}]→local[${r.nLow * 4}]) | ${r.turns} | ${r.tpsLow}%.0f | ${r.tpsHigh}%.0f | ${r.eff}%.3f | ${r.clean}/${r.clean + r.rejected} | ${log.mkString("; ")} |")
+            f"| ${java.time.Instant.now()} (local[${r.nLow}]→local[${r.nLow * 4}]) | ${r.turns} | ${r.tpsLow}%.0f | ${r.tpsHigh}%.0f | ${r.eff}%.3f | ${r.clean}/${r.clean + r.rejected}+${r.contended}c | ${log.mkString("; ")} |")
       }
       scalingExtras = renderExtras(_.jsonCompact)
     }

@@ -47,7 +47,7 @@ object Main {
         Windowed.featureMatrixWindowedFull(turns, state,
           cfg.int("window.size", 8), cfg.int("window.overlap", 2), mods)
       case other => throw new IllegalArgumentException(
-        s"mode must be conversation|windowed, got $other")
+        s"mode must be conversation|windowed|incremental, got $other")
     }
   }
 
@@ -93,6 +93,12 @@ object Main {
     if (cfg.str("mode").contains("incremental")) {
       val stateDir = cfg.str("state_dir").getOrElse(
         throw new IllegalArgumentException("mode=incremental requires 'state_dir'"))
+      // fail fast rather than silently ignore (ADVICE r4): the generation
+      // store is one serial upsert cycle — the resumable-shard path does
+      // not apply to it
+      require(cfg.int("shards", 1) == 1,
+        "mode=incremental maintains one generation store per cycle; shards>1 " +
+          "(the resumable snapshot path) does not apply — feed slices sequentially instead")
       val gap = cfg.long("session_gap_seconds", SparkEntry.SessionGapSeconds)
       features.IncrementalStore.upsert(spark, stateDir, turns, gap)
       val m = postProcess(features.IncrementalStore.features(spark, stateDir), cfg)

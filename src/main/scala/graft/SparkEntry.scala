@@ -505,6 +505,48 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // ——— incremental maintenance of the open-set histogram family ———
+    // The A3/A20 map histograms are themselves mergeable summaries (key
+    // union + per-key count sum via map_zip_with), so the feature-store
+    // upsert now covers the reference's most numerous feature family
+    // (harmony/utils.py:473-485 interval/chord Counters) without a full
+    // recompute. Oracle = the direct single-pass histogram, so the
+    // merge≡direct equality IS the check; compared on exploded sorted
+    // pairs like q_histogram_map.
+    "q_incremental_hist" -> ((s, dir) => {
+      import graft.features.Incremental
+      val t = Tables.turns(s, dir)
+      Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < 20)),
+        Incremental.partials(t.filter(col("turn_idx") >= 20)))
+        .select(col("conv_id"), explode(col("tool_hist")).as(Seq("tool", "n")))
+        .orderBy("conv_id", "tool")
+    }),
+
+    // ——— scale twin of q_gap_quantiles: sketch-based quantiles ———
+    // Same derivation and plan shape (one window for gaps, one grouped
+    // aggregate), with the exact sort-based percentile swapped for
+    // approx_percentile at an explicit accuracy (50000: p99 of a
+    // heavy-tailed gap distribution needs tail resolution ~1/accuracy) — the 100-TB path where
+    // a per-group value sort is not acceptable. No SQL oracle on purpose
+    // (sketch internals are engine-specific, they do not hash-match);
+    // OpsVariantsSpec pins it within tolerance of the exact form.
+    "q_gap_quantiles_approx" -> ((s, dir) => {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      Tables.turns(s, dir)
+        .withColumn("gap_s",
+          (LagLead.micros(col("ts")) -
+            LagLead.micros(lag(col("ts"), 1).over(w))).cast("double") / 1e6)
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("role"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          round(expr("approx_percentile(gap_s, 0.5D, 50000)"), 6).as("p50"),
+          round(expr("approx_percentile(gap_s, 0.9D, 50000)"), 6).as("p90"),
+          round(expr("approx_percentile(gap_s, 0.99D, 50000)"), 6).as("p99"))
+        .orderBy("role")
+    }),
+
     // ——— J1 variant: bounded-staleness as-of join (48h tolerance) ———
     "q_asof_tolerance" -> ((s, dir) =>
       AsOf.join(Tables.turns(s, dir), Tables.state(s, dir),
@@ -955,6 +997,23 @@ object SparkEntry {
       OpenHistogram.histMapShare(t, Seq("conv_id"), "role_key")
         .select(col("conv_id"), explode(col("hist_share")).as(Seq("role_key", "share")))
         .orderBy("conv_id", "role_key")
+    }),
+
+    // ——— G1 wide export end-to-end: map histogram → reference-style wide
+    //     scalar columns (the last spec-only G1 path, now oracle-pinned) ———
+    // The engine's native histogram is ONE map column; the reference's
+    // data-dependent wide layout (one scalar column per observed key,
+    // prefix.py:64-126 naming) is reproduced at export by
+    // explodeMapToColumns + renderReferenceNames. The tool vocabulary is
+    // closed (tool_0..tool_3 + none), so the DuckDB twin is a static
+    // conditional-sum pivot aliased to the same rendered names.
+    "q_export_wide" -> ((s, dir) => {
+      val t = Tables.turns(s, dir)
+        .withColumn("tool_key", coalesce(col("tool"), lit("none")))
+      val hist = OpenHistogram.histMap(t, Seq("conv_id"), "tool_key")
+      graft.process.PostProcess.renderReferenceNames(
+        graft.process.PostProcess.explodeMapToColumns(hist, "hist", "Hist"))
+        .orderBy("conv_id")
     }),
 
     // ——— W7 tie-merge: fuse consecutive same-role turns (utterances) ———
@@ -2032,6 +2091,22 @@ object SparkEntry {
       """SELECT conv_id, coalesce(tool, 'none') AS tool_key,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM turns GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_incremental_hist" -> Oracle.withTurns(
+      """SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS n
+        |FROM turns WHERE tool IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // static pivot twin of the dynamic wide export — the closed tool
+    // vocabulary (tool_0..3 + none) makes the column set, and the aliases
+    // are the exact renderReferenceNames renderings
+    "q_export_wide" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "Score_HistNone",
+        |  CAST(sum(CASE WHEN tool = 'tool_0' THEN 1 ELSE 0 END) AS BIGINT) AS "Score_HistTool0",
+        |  CAST(sum(CASE WHEN tool = 'tool_1' THEN 1 ELSE 0 END) AS BIGINT) AS "Score_HistTool1",
+        |  CAST(sum(CASE WHEN tool = 'tool_2' THEN 1 ELSE 0 END) AS BIGINT) AS "Score_HistTool2",
+        |  CAST(sum(CASE WHEN tool = 'tool_3' THEN 1 ELSE 0 END) AS BIGINT) AS "Score_HistTool3"
+        |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_histogram_map_share" -> Oracle.withTurnsCtes(
       """c AS (SELECT conv_id, role AS role_key, count(*) AS n FROM turns GROUP BY 1, 2)

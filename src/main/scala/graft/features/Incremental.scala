@@ -39,7 +39,15 @@ import graft.ops.LagLead
   */
 object Incremental {
 
-  /** Per-conversation sufficient statistics of one slice of turns. */
+  /** Per-conversation sufficient statistics of one slice of turns.
+    * Includes the open-set tool histogram (`tool_hist`, map<tool, count>) —
+    * a map-sum is itself a mergeable summary, so the A3/A20 histogram
+    * family (the reference's most numerous features — harmony/utils.py:
+    * 473-485 Counters) rides the same upsert cycle as counts and moments
+    * instead of forcing a full recompute. Entries are sorted by key
+    * (array_sort on the struct) so the map bytes are deterministic at any
+    * parallelism — which also makes the store's slice fingerprint stable.
+    */
   def partials(turns: DataFrame,
                gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -48,6 +56,14 @@ object Incremental {
     val gapBreak = when(
       us - LagLead.micros(lag(col("ts"), 1).over(w)) > gapSeconds * 1000000L, 1L
     ).otherwise(0L)
+    // two-level histogram aggregate: (conv_id, tool) counts → map. The
+    // second groupBy and the join key are a prefix of the first's key, so
+    // all of it extends the conv_id partitioning — no extra exchange.
+    val hist = turns.filter(col("tool").isNotNull)
+      .groupBy(col("conv_id"), col("tool")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("conv_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("tool"), col("__n"))))).as("tool_hist"))
     turns
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         len.as("__len"), us.as("__us"), gapBreak.as("__brk"))
@@ -67,6 +83,7 @@ object Incremental {
         min(col("__us")).as("first_us"),
         max(col("__us")).as("last_us"),
         (sum(col("__brk")) + lit(1L)).as("sessions"))
+      .join(hist, Seq("conv_id"), "left")
   }
 
   /** Merge two partials frames (b's turns at-or-after a's, per contract).
@@ -94,6 +111,15 @@ object Incremental {
       r("first_us") - l("last_us") > gapSeconds * 1000000L,
       l("sessions") + r("sessions")
     ).otherwise(l("sessions") + r("sessions") - 1L)
+    // map-sum of the tool histograms: union of keys, per-key count sum;
+    // re-sorted by key after the zip so merged maps keep the deterministic
+    // byte layout partials established (map_zip_with emits left-then-right
+    // key order, not sorted)
+    val histMerged = when(l("tool_hist").isNull, r("tool_hist"))
+      .when(r("tool_hist").isNull, l("tool_hist"))
+      .otherwise(map_from_entries(array_sort(map_entries(
+        map_zip_with(l("tool_hist"), r("tool_hist"),
+          (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L)))))))
     a.alias("l").join(b.alias("r"), l("conv_id") === r("conv_id"), "full_outer")
       .select(
         coalesce(l("conv_id"), r("conv_id")).as("conv_id") +:
@@ -102,7 +128,8 @@ object Incremental {
         greatest(l("len_max"), r("len_max")).as("len_max") :+
         least(l("first_us"), r("first_us")).as("first_us") :+
         greatest(l("last_us"), r("last_us")).as("last_us") :+
-        coalesce(stitched, l("sessions"), r("sessions")).as("sessions"): _*)
+        coalesce(stitched, l("sessions"), r("sessions")).as("sessions") :+
+        histMerged.as("tool_hist"): _*)
   }
 
   /** Feature columns from merged partials — pure per-row column math, no
@@ -151,37 +178,76 @@ object Incremental {
   * one-for-one).
   *
   * Layout: `dir/gen-K/` parquet partials per upsert cycle, `dir/_CURRENT`
-  * holding K. Each upsert reads gen K, merges the new slice's partials,
-  * writes gen K+1, then flips the pointer with an atomic rename — a crash
-  * mid-cycle leaves an orphan gen-K+1 directory and an intact pointer, so
-  * the store is never observed half-written and the cycle is safely
-  * re-runnable (same re-run contract as Snapshot's shard manifest).
-  * Generations older than the previous one are dropped after the flip.
+  * holding K plus the merged slice's fingerprint. Each upsert reads gen K,
+  * merges the new slice's partials, writes gen K+1, then flips the pointer
+  * with an atomic rename — a crash mid-cycle leaves an orphan gen-K+1
+  * directory and an intact pointer (the store is never observed
+  * half-written), and a re-run after a SUCCESSFUL flip is caught by the
+  * recorded slice fingerprint and no-ops instead of double-merging — so
+  * the cycle is safely re-runnable on either side of the flip (the same
+  * end-to-end re-run contract as Snapshot's shard manifest). Generations
+  * older than the previous one are dropped after the flip.
   */
 object IncrementalStore {
   import java.nio.file.{Files, Paths, StandardCopyOption}
   import org.apache.spark.sql.SparkSession
 
-  private def currentGen(dir: String): Option[Int] = {
+  /** `_CURRENT` holds `K` or `K <sliceId>` — the generation number plus the
+    * fingerprint of the slice that produced it (older pointer files without
+    * the id still parse).
+    */
+  private def currentGen(dir: String): Option[(Int, Option[String])] = {
     val p = Paths.get(dir, "_CURRENT")
-    if (Files.exists(p)) Some(Files.readString(p).trim.toInt) else None
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.split("\\s+").toSeq match {
+      case Seq(g)      => Some((g.toInt, None))
+      case Seq(g, sid) => Some((g.toInt, Some(sid)))
+      case other => throw new IllegalStateException(s"malformed _CURRENT: $other")
+    }
   }
 
-  /** Merge one appended slice into the store; returns the new partials. */
+  /** Deterministic content fingerprint of a slice's partials: row count +
+    * XOR of per-row hashes (order-independent over the per-conv_id-distinct
+    * rows, overflow-free under ANSI mode; the map column's sorted entries
+    * make `to_json` stable). Identifies "the same slice again" regardless
+    * of partitioning or row order.
+    */
+  private def sliceId(p: DataFrame): String = {
+    val row = p.select(xxhash64(to_json(struct(p.columns.map(col): _*))).as("__h"))
+      .agg(count(lit(1)), expr("bit_xor(__h)")).head
+    s"${row.getLong(0)}x${if (row.isNullAt(1)) 0L else row.getLong(1)}"
+  }
+
+  /** Merge one appended slice into the store; returns the new partials.
+    * Re-running a cycle is safe on BOTH sides of the pointer flip: a crash
+    * before the flip leaves an orphan gen dir and an intact pointer (the
+    * re-run simply redoes the merge), and a re-run AFTER a successful flip
+    * is detected by the slice fingerprint recorded in `_CURRENT` and
+    * becomes a no-op instead of double-merging the slice.
+    */
   def upsert(spark: SparkSession, dir: String, slice: DataFrame,
              gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
     Files.createDirectories(Paths.get(dir))
-    val sliceP = Incremental.partials(slice, gapSeconds)
+    // checkpoint: the partials feed the fingerprint action AND the merge
+    // write — one computation, |touched convs|-sized
+    val sliceP = Incremental.partials(slice, gapSeconds).localCheckpoint()
+    val sid = sliceId(sliceP)
     val cur = currentGen(dir)
+    cur match {
+      case Some((g, Some(prevSid))) if prevSid == sid =>
+        System.err.println(s"[incremental] slice $sid already merged as gen-$g — no-op re-run")
+        return spark.read.parquet(s"$dir/gen-$g")
+      case _ => ()
+    }
     val merged = cur match {
-      case Some(g) =>
+      case Some((g, _)) =>
         Incremental.merge(spark.read.parquet(s"$dir/gen-$g"), sliceP, gapSeconds)
       case None => sliceP
     }
-    val next = cur.map(_ + 1).getOrElse(0)
+    val next = cur.map(_._1 + 1).getOrElse(0)
     merged.write.mode("overwrite").parquet(s"$dir/gen-$next")
     val tmp = Paths.get(dir, "_CURRENT.tmp")
-    Files.writeString(tmp, next.toString)
+    Files.writeString(tmp, s"$next $sid")
     Files.move(tmp, Paths.get(dir, "_CURRENT"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     // retention: keep current + previous (time-travel by one cycle, like a
@@ -201,7 +267,7 @@ object IncrementalStore {
   /** Current feature matrix of the store. */
   def features(spark: SparkSession, dir: String): DataFrame =
     currentGen(dir) match {
-      case Some(g) => Incremental.finalize(spark.read.parquet(s"$dir/gen-$g"))
+      case Some((g, _)) => Incremental.finalize(spark.read.parquet(s"$dir/gen-$g"))
       case None => throw new IllegalStateException(s"no generations in $dir")
     }
 }

@@ -10,22 +10,35 @@ import org.apache.spark.sql.functions._
   * corpus is curated); this is part of the beyond-reference training-data
   * pipeline tier (SURVEY.md §6).
   *
-  * Algorithm: iterative min-label propagation to a CONVERGENCE-CHECKED
-  * fixpoint — every node's label ends as the component minimum, which is
-  * unique and independent of partitioning or iteration order (the property
-  * the DuckDB oracle's recursive-CTE closure reproduces exactly).
+  * Two algorithms, one contract (label = component-minimum node id,
+  * partition-order independent — the property the DuckDB oracle's
+  * recursive-CTE closure reproduces exactly):
   *
-  * Scale shape: the edge list is the near-dup graph — orders of magnitude
-  * smaller than the corpus, with small, dense components (duplicate
-  * clusters), so plain propagation converges in O(component diameter)
-  * rounds ≈ a handful. Each round is one shuffle join + one aggregate;
-  * `localCheckpoint` truncates the lineage so round N does not replay
-  * rounds 1..N-1 (iterative DataFrame lineage is otherwise exponential to
-  * plan). A web-scale graph with giant-diameter components would swap in
-  * large-star/small-star contraction with the same keeper contract; the
-  * iteration cap fails loudly rather than looping forever.
+  *  - [[minLabel]]: iterative min-label propagation, O(diameter) rounds.
+  *    The expected shape for dedup graphs — small, dense components
+  *    (duplicate clusters) on an edge list orders of magnitude smaller
+  *    than the corpus, converging in a handful of rounds. Rounds are run
+  *    in FUSED PAIRS (two propagation joins per materialization +
+  *    convergence action), and round 1 is folded into the seed (label =
+  *    min(node, min direct neighbor) is one aggregate, no join), so the
+  *    fixed per-round cost — `localCheckpoint` lineage truncation plus a
+  *    blocking convergence read — is paid half as often.
+  *  - [[starContract]]: alternating large-star/small-star contraction
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC'14 — public algorithm), O(log n) rounds REGARDLESS of
+  *    component diameter. The 100-TB fallback for chain-shaped duplicate
+  *    clusters (shingled spam, boilerplate chains) where propagation's
+  *    O(diameter) loop would not terminate in bounded rounds.
+  *
+  * [[minLabel]] hitting its iteration cap automatically falls back to
+  * [[starContract]] on the same edges instead of failing — the cap is a
+  * shape detector, not an error.
   */
 object Components {
+
+  private def symmetrize(edges: DataFrame, a: String, b: String): DataFrame =
+    edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
 
   /** @return (node, label) — label = min node id reachable from `node`;
     *         every node appearing in either edge column gets a row.
@@ -33,32 +46,125 @@ object Components {
   def minLabel(edges: DataFrame, a: String, b: String, maxIters: Int = 50): DataFrame = {
     // symmetrize once; checkpoint so each round scans a materialized edge
     // list instead of replaying the (possibly expensive) pair pipeline
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+    val sym = symmetrize(edges, a, b).localCheckpoint()
+    // seed = round 1 folded into initialization: with labels initialized to
+    // node ids, the first propagation round computes exactly
+    // min(node, min direct neighbor) — one aggregate over sym, no join
+    var lbl = sym.groupBy(col("src").as("node")).agg(min(col("dst")).as("__mn"))
+      .select(col("node"), least(col("node"), col("__mn")).as("label"))
       .localCheckpoint()
-    var lbl = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var iter = 0
+    // one propagation step; extra columns on `l` (the carried round-start
+    // label) pass through the left join untouched
+    def step(l: DataFrame): DataFrame = {
+      val prop = sym.join(l.select(col("node").as("dst"), col("label").as("dlbl")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("dlbl")).as("nlbl"))
+      l.join(prop, Seq("node"), "left")
+        .select((col("node") +:
+          least(col("label"), coalesce(col("nlbl"), col("label"))).as("label") +:
+          l.columns.filterNot(c => c == "node" || c == "label").map(col).toSeq): _*)
+    }
+    var iter = 1 // the seed IS round 1
     var converged = false
     while (!converged && iter < maxIters) {
-      iter += 1
-      // each node's best neighbor label this round
-      val prop = sym.join(lbl.select(col("node").as("dst"), col("label").as("dlbl")), "dst")
-        .groupBy(col("src").as("node")).agg(min(col("dlbl")).as("nlbl"))
-      // carry an improved-this-round flag in the frame itself: convergence
-      // is then one cheap max() over the already-materialized checkpoint
-      // instead of a next⋈previous comparison join per round
-      val next = lbl.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlbl"), col("label"))).as("label"),
-          (coalesce(col("nlbl"), col("label")) < col("label")).cast("int").as("__chg"))
+      iter += 2
+      // two fused steps between materializations: labels only ever
+      // decrease, so "no change across the fused pair" ⇔ both steps were
+      // no-ops ⇔ fixpoint — the carried round-start label (`label0`) makes
+      // convergence one cheap max() over the already-materialized
+      // checkpoint instead of a next⋈previous comparison join
+      val next = step(step(lbl.withColumn("label0", col("label"))))
+        .select(col("node"), col("label"),
+          (col("label") < col("label0")).cast("int").as("__chg"))
         .localCheckpoint()
       converged = next.agg(coalesce(max(col("__chg")), lit(0))).head.getInt(0) == 0
       lbl = next.drop("__chg")
     }
-    require(converged, s"component labels did not converge in $maxIters rounds " +
-      "(giant-diameter component — use a star-contraction variant)")
-    lbl
+    if (!converged) {
+      // giant-diameter component: propagation's O(diameter) loop is the
+      // wrong algorithm — swap to the O(log n) contraction, same contract
+      System.err.println(s"[components] minLabel hit the $maxIters-round cap " +
+        "(giant-diameter component) — falling back to large-star/small-star contraction")
+      starContract(edges, a, b)
+    } else lbl
+  }
+
+  /** Alternating large-star/small-star connected components. Each round is
+    * two grouped aggregates + joins over the CURRENT edge set (which only
+    * shrinks toward one star per component); convergence is an
+    * order-independent edge-set signature reaching a fixed point, checked
+    * on the already-materialized checkpoint. Converges in O(log n) rounds
+    * on any graph shape — the web-scale path for components whose diameter
+    * exceeds what propagation can walk.
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node links its smaller-or-equal neighbors (and
+    *    itself) to that minimum.
+    *
+    * At the fixpoint each component is a star centered on its minimum
+    * node, so the edge list IS the (node → label) mapping.
+    */
+  def starContract(edges: DataFrame, a: String, b: String, maxRounds: Int = 60): DataFrame = {
+    val nodes = edges.select(col(a).as("node"))
+      .unionByName(edges.select(col(b).as("node")))
+      .distinct().localCheckpoint()
+    var e = edges.select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    // min over the closed neighborhood of each node of `d` (d must hold
+    // every direction that matters to the caller)
+    def closedMin(d: DataFrame): DataFrame =
+      d.groupBy(col("u")).agg(min(col("v")).as("__mnv"))
+        .select(col("u"), least(col("u"), col("__mnv")).as("m"))
+
+    def largeStar(d: DataFrame): DataFrame = {
+      val nbrs = d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
+      nbrs.join(closedMin(nbrs), Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(d: DataFrame): DataFrame = {
+      // canonical high→low orientation, then each node links its ≤-side
+      // neighborhood (and itself) to the neighborhood minimum
+      val c = d.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = closedMin(c)
+      c.join(m, Seq("u"))
+        .select(col("v"), col("m"))
+        .unionByName(m.select(col("u").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // order-independent edge-set signature: (count, XOR of per-edge hash).
+    // XOR, not sum: the edge set is distinct, so XOR is a valid set
+    // signature, and it cannot overflow under ANSI mode
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.select(xxhash64(col("u"), col("v")).as("__h"))
+        .agg(count(lit(1)), expr("bit_xor(__h)")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var round = 0
+    var done = sig._1 == 0L // no edges → all singletons
+    while (!done && round < maxRounds) {
+      round += 1
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val s2 = signature(next)
+      done = s2 == sig
+      sig = s2
+      e = next
+    }
+    require(done, s"star contraction did not converge in $maxRounds rounds — " +
+      "not a graph-shape issue (contraction is O(log n) on any shape); " +
+      "inspect the edge list for pathological input")
+    nodes.join(e.select(col("u").as("node"), col("v").as("__lbl")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__lbl"), col("node")).as("label"))
   }
 }

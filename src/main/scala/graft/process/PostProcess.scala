@@ -74,12 +74,14 @@ object PostProcess {
   /** A26: mix-with-precedent merge of two feature matrices over the same
     * keys — the musiF role-variant merge
     * (`_mix_data_with_precedent_data`, musif/extract/common.py:39-54):
-    * per shared column, by NAME rule —
-    *   - contains "max"/"highest" → the larger value (nulls lose);
-    *   - contains "min"/"lowest"  → the smaller value (nulls lose);
-    *   - string-typed             → the precedent's value, null-filled from
-    *     the new side (the reference keeps `prev` for non-numerics);
-    *   - otherwise (numeric)      → mean of the two, null-coalescing.
+    * per shared column —
+    *   - string-typed ON EITHER SIDE → the precedent's value, null-filled
+    *     from the new side (the reference keeps `prev` for non-numerics;
+    *     checked before the name rules so a mixed-dtype '*max' column
+    *     cannot hit an implicit-cast comparison);
+    *   - name contains "max"/"highest" → the larger value (nulls lose);
+    *   - name contains "min"/"lowest"  → the smaller value (nulls lose);
+    *   - otherwise (numeric)           → mean of the two, null-coalescing.
     * Rows present on one side only pass through (full outer on `keys`);
     * columns present on one side only pass through unchanged. Null rules
     * are written as explicit CASEs (not greatest/least) so the DuckDB
@@ -108,13 +110,17 @@ object PostProcess {
       // feature": keep the precedent, reference semantics
       val anyString = prev.schema(c).dataType == StringType ||
         next.schema(c).dataType == StringType
+      // anyString is checked BEFORE the name-based min/max branches
+      // (ADVICE r4): a shared '*max'/'*min' column that is string on one
+      // side and numeric on the other must hit the string-precedent rule,
+      // not an implicit-cast >= comparison
       val out =
-        if (lo.contains("max") || lo.contains("highest"))
+        if (anyString)
+          coalesce(pa.cast("string"), pb.cast("string"))
+        else if (lo.contains("max") || lo.contains("highest"))
           when(pa.isNull, pb).when(pb.isNull, pa).when(pa >= pb, pa).otherwise(pb)
         else if (lo.contains("min") || lo.contains("lowest"))
           when(pa.isNull, pb).when(pb.isNull, pa).when(pa <= pb, pa).otherwise(pb)
-        else if (anyString)
-          coalesce(pa.cast("string"), pb.cast("string"))
         else
           when(pa.isNull, pb).when(pb.isNull, pa)
             .otherwise((pa.cast("double") + pb.cast("double")) / 2.0)

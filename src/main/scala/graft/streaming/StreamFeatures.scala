@@ -153,19 +153,27 @@ object StreamFeatures {
     * across micro-batches.
     *
     * State shape at web scale: `dropDuplicatesWithinWatermark` keys the
-    * dedup state on the 8-byte fingerprint and EVICTS entries once the
-    * watermark passes them — bounded state for an unbounded stream (a
-    * plain `dropDuplicates` on a stream retains every key forever, which
-    * cannot run against a 10¹²-doc firehose). The contract is therefore
-    * time-bounded exactness: copies arriving within the watermark bound
-    * of the original are dropped; a copy arriving later than the bound
-    * may re-emit — the same contract batch re-dedup on the sink closes.
+    * dedup state on the 8-byte fingerprint plus the text LENGTH (a second,
+    * independent signal: dropping on fingerprint equality alone would
+    * silently discard a distinct document on a 60-bit collision — with
+    * the length in the key, a collision must also match byte length, and
+    * the state cost is one long per entry; the batch `q_dedup_exact` twin
+    * resolves full text equality, which streaming state cannot afford to
+    * carry) and EVICTS entries once the watermark passes them — bounded
+    * state for an unbounded stream (a plain `dropDuplicates` on a stream
+    * retains every key forever, which cannot run against a 10¹²-doc
+    * firehose). The contract is therefore time-bounded exactness modulo
+    * joint (fingerprint, length) collisions: copies arriving within the
+    * watermark bound of the original are dropped; a copy arriving later
+    * than the bound may re-emit — the same contract batch re-dedup on the
+    * sink closes.
     */
   def dedupExact(docs: DataFrame, watermark: String = "24 hours",
                  textCol: String = "text", tsCol: String = "ts"): DataFrame =
     docs
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withColumn("fp", graft.functions.TextFns.fingerprint(col(textCol)))
+      .withColumn("fp_len", length(col(textCol)).cast("long"))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fp")
+      .dropDuplicatesWithinWatermark("fp", "fp_len")
 }

@@ -35,11 +35,35 @@ class ComponentsSpec extends SparkSpec {
     assert(one.forall(_._2 == 1L))
   }
 
-  test("iteration cap fails loudly instead of looping") {
-    val edges = (1L until 50L).map(i => (i, i + 1)).toDF("a", "b")
-    val e = intercept[IllegalArgumentException] {
-      Components.minLabel(edges, "a", "b", maxIters = 2).collect()
+  test("iteration cap swaps to star contraction: path longer than the cap still resolves") {
+    // path 1-2-...-120 (diameter 119) with maxIters=10: propagation cannot
+    // finish, so the guard must hand off to large-star/small-star and
+    // still return the exact component minima
+    val edges = (1L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.minLabel(edges, "a", "b", maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 120)
+    (1L to 120L).foreach(n => assert(got(n) == 1L, s"node $n"))
+  }
+
+  test("starContract equals minLabel on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 20
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("a", "b")
+      val viaStar = Components.starContract(edges, "a", "b")
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      val viaProp = Components.minLabel(edges, "a", "b")
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(viaStar == viaProp, s"trial $trial (n=$n) diverged")
     }
-    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("starContract handles self-loops, singleton edges and a triangle") {
+    val edges = Seq((5L, 5L), (1L, 2L), (7L, 8L), (8L, 9L), (9L, 7L)).toDF("a", "b")
+    val got = Components.starContract(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 }

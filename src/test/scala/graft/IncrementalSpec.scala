@@ -46,6 +46,28 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("histogram partials merge to the direct single-pass histogram at every split") {
+    val t = fixture
+    def histPairs(p: DataFrame): Seq[(String, String, Long)] =
+      p.select(col("conv_id"), explode(col("tool_hist")).as(Seq("tool", "n")))
+        .orderBy("conv_id", "tool")
+        .as[(String, String, Long)].collect().toSeq
+    val direct = histPairs(Incremental.partials(t))
+    assert(direct.nonEmpty)
+    for (k <- 1 to 6) {
+      val got = histPairs(Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < k)),
+        Incremental.partials(t.filter(col("turn_idx") >= k))))
+      assert(got == direct, s"split at turn_idx=$k diverged")
+    }
+    // a conv with no tool calls carries a null map through the merge
+    val noTools = Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < 2)),
+        Incremental.partials(t.filter(col("turn_idx") >= 2)))
+      .filter(col("conv_id") === "b").select("tool_hist").collect().head
+    assert(noTools.isNullAt(0))
+  }
+
   test("three-way merge associates") {
     val t = fixture
     val Seq(p1, p2, p3) = Seq(
@@ -89,6 +111,14 @@ class IncrementalSpec extends SparkSpec {
     // retention: only gen-1 and gen-2 remain after the third cycle
     val gens = new java.io.File(dir).list().filter(_.startsWith("gen-")).sorted.toSeq
     assert(gens == Seq("gen-1", "gen-2"), s"gens=$gens")
+    // re-running the LAST cycle (post-flip crash recovery) must be a
+    // no-op: the slice fingerprint recorded in _CURRENT matches, so the
+    // store neither double-merges nor advances a generation
+    graft.features.IncrementalStore.upsert(spark, dir, t.filter(col("turn_idx") >= 5))
+    val gens2 = new java.io.File(dir).list().filter(_.startsWith("gen-")).sorted.toSeq
+    assert(gens2 == Seq("gen-1", "gen-2"), s"re-run advanced the store: $gens2")
+    val again = collectSorted(graft.features.IncrementalStore.features(spark, dir))
+    assert(again == direct, "no-op re-run changed the features")
   }
 
   test("all-null-text slice keeps null power sums until a real value merges in") {

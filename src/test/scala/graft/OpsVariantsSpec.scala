@@ -227,4 +227,45 @@ class OpsVariantsSpec extends SparkSpec {
       .orderBy("conv_id").collect().toSeq
     assert(salted == direct)
   }
+
+  test("approx quantiles hold the rank-bracket guarantee of the exact form (scale twin)") {
+    // q_gap_quantiles_approx has no SQL oracle (sketch internals don't
+    // hash-match across engines) — this is its correctness pin, stated as
+    // the guarantee the sketch actually makes: approx_percentile returns
+    // an OBSERVED value whose rank is within ε·n of the target, so it
+    // must lie between the exact interpolated quantiles at q∓0.01 (a
+    // bracket wide enough to absorb interpolation-vs-element differences
+    // on sf0.001's small per-role groups, and far tighter than any
+    // wrong-column/wrong-group regression). n_gaps must be exact.
+    val dir = "/root/testdata/sf0.001"
+    def byRole(name: String) =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getAs[String]("role") ->
+          (r.getAs[Long]("n_gaps"),
+            Seq(r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99")))).toMap
+    val approx = byRole("q_gap_quantiles_approx")
+    val exact = byRole("q_gap_quantiles")
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    // exact interpolated quantiles at the bracket edges, same derivation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    val brackets = Tables.turns(spark, dir)
+      .withColumn("gap_s", (LagLead.micros(col("ts")) -
+        LagLead.micros(lag(col("ts"), 1).over(w))).cast("double") / 1e6)
+      .filter(col("gap_s").isNotNull)
+      .groupBy("role")
+      .agg(expr("percentile(gap_s, array(0.49D, 0.51D, 0.89D, 0.91D, 0.98D, 1.0D))").as("b"))
+      .collect().map(r => r.getAs[String]("role") ->
+        r.getSeq[Double](1)).toMap
+    for (role <- approx.keySet) {
+      assert(approx(role)._1 == exact(role)._1, s"$role: n_gaps must be exact")
+      val b = brackets(role)
+      val lohi = Seq((b(0), b(1)), (b(2), b(3)), (b(4), b(5)))
+      approx(role)._2.zip(lohi).zip(Seq("p50", "p90", "p99")).foreach {
+        case ((a, (lo, hi)), q) =>
+          assert(a >= lo - 1e-6 && a <= hi + 1e-6,
+            s"$role $q: approx=$a outside exact bracket [$lo, $hi]")
+      }
+    }
+  }
 }
