@@ -1097,7 +1097,7 @@ object SparkEntry {
     *    (pair list exploded to (doc_id, pair) and regrouped), never
     *    re-tokenizing the corpus per side.
     */
-  private def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns._
     val docs = Tables.documents(s, dir)
     val mh = minhashRows(docs, "doc_id", "text", 8)

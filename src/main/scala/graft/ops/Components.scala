@@ -43,10 +43,41 @@ object Components {
   /** @return (node, label) — label = min node id reachable from `node`;
     *         every node appearing in either edge column gets a row.
     */
+  /** Iterative stages must be sized to the GRAPH, not the corpus: the
+    * near-dup edge list is orders of magnitude smaller than the documents
+    * table, and running each tiny propagation round at the session's
+    * corpus-tuned shuffle width pays ~8 stages × width in task-launch
+    * overhead per round (measured: 1.2s/round at width 32 on a 91k-edge
+    * graph vs ~0.2s at width 1). The edge list is already materialized, so
+    * its exact count is free — ~100k edges per partition, capped.
+    */
+  private def graphParts(nEdges: Long): Int =
+    math.max(1L, math.min(2048L, nEdges / 100000L + 1L)).toInt
+
+  /** Run `body` with the session's shuffle width pinned to `parts`,
+    * restoring the previous value after. Only safe because every frame the
+    * body returns is eagerly materialized (localCheckpoint) before the
+    * restore — nothing lazy escapes with the narrowed width.
+    */
+  private def withShuffleParts[T](df: DataFrame, parts: Int)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def minLabel(edges: DataFrame, a: String, b: String, maxIters: Int = 50): DataFrame = {
     // symmetrize once; checkpoint so each round scans a materialized edge
     // list instead of replaying the (possibly expensive) pair pipeline
-    val sym = symmetrize(edges, a, b).localCheckpoint()
+    val sym0 = symmetrize(edges, a, b).localCheckpoint()
+    val parts = graphParts(sym0.count())
+    val sym = if (sym0.rdd.getNumPartitions > parts * 4)
+      sym0.repartition(parts).localCheckpoint() else sym0
+    withShuffleParts(sym, parts) { minLabelLoop(sym, edges, a, b, maxIters) }
+  }
+
+  private def minLabelLoop(sym: DataFrame, edges: DataFrame, a: String,
+                           b: String, maxIters: Int): DataFrame = {
     // seed = round 1 folded into initialization: with labels initialized to
     // node ids, the first propagation round computes exactly
     // min(node, min direct neighbor) — one aggregate over sym, no join
@@ -63,10 +94,12 @@ object Components {
           least(col("label"), coalesce(col("nlbl"), col("label"))).as("label") +:
           l.columns.filterNot(c => c == "node" || c == "label").map(col).toSeq): _*)
     }
+    val debug = sys.env.get("GRAFT_COMPONENTS_DEBUG").contains("1")
     var iter = 1 // the seed IS round 1
     var converged = false
     while (!converged && iter < maxIters) {
       iter += 2
+      val t0 = if (debug) System.nanoTime() else 0L
       // two fused steps between materializations: labels only ever
       // decrease, so "no change across the fused pair" ⇔ both steps were
       // no-ops ⇔ fixpoint — the carried round-start label (`label0`) makes
@@ -76,7 +109,11 @@ object Components {
         .select(col("node"), col("label"),
           (col("label") < col("label0")).cast("int").as("__chg"))
         .localCheckpoint()
+      val t1 = if (debug) System.nanoTime() else 0L
       converged = next.agg(coalesce(max(col("__chg")), lit(0))).head.getInt(0) == 0
+      if (debug) System.err.println(
+        f"[components] fused round ending at $iter: checkpoint ${(t1 - t0) / 1e9}%.2fs " +
+          f"converge-read ${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged")
       lbl = next.drop("__chg")
     }
     if (!converged) {
@@ -108,8 +145,15 @@ object Components {
     val nodes = edges.select(col(a).as("node"))
       .unionByName(edges.select(col(b).as("node")))
       .distinct().localCheckpoint()
-    var e = edges.select(col(a).as("u"), col(b).as("v"))
+    val e0 = edges.select(col(a).as("u"), col(b).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    withShuffleParts(e0, graphParts(e0.count())) {
+      starLoop(nodes, e0, maxRounds)
+    }
+  }
+
+  private def starLoop(nodes: DataFrame, e0: DataFrame, maxRounds: Int): DataFrame = {
+    var e = e0
 
     // min over the closed neighborhood of each node of `d` (d must hold
     // every direction that matters to the caller)
@@ -164,7 +208,9 @@ object Components {
     require(done, s"star contraction did not converge in $maxRounds rounds — " +
       "not a graph-shape issue (contraction is O(log n) on any shape); " +
       "inspect the edge list for pathological input")
+    // materialize inside the narrowed-shuffle scope (see withShuffleParts)
     nodes.join(e.select(col("u").as("node"), col("v").as("__lbl")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__lbl"), col("node")).as("label"))
+      .localCheckpoint()
   }
 }
