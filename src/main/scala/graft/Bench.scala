@@ -308,6 +308,16 @@ object Bench {
     // robustness under contention is worth more than the last ceiling
     // percent.
     val scalingConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS", "100000").toLong
+    // The literal local[8]→local[32] pair needs a LARGER corpus than the
+    // 1→4 pair: at 100k convs the local[32] side runs ~11-13s against the
+    // ~5-8s per-run fixed cost (session spin-up, planning, stage
+    // scheduling), structurally capping its measurable efficiency near 0.5
+    // regardless of the engine — eff = (F + W/8)/(4·(F + W/32)) → 1 only
+    // as W/F → ∞. 3× the work pushes the high side to ~25-30s where the
+    // fixed cost is amortized; pairs still fit 3 attempts in the 25%
+    // budget slice (~75-100s/pair measured at this size).
+    val scalingConvs832 =
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_CONVS_8TO32", (scalingConvs * 3).toString).toLong
 
     // — 1. per-query timings: interleaved rounds, per-query median —
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") != "0"
@@ -366,6 +376,15 @@ object Bench {
       val corpusDir = sys.env.getOrElse("SPARK_GRAFT_CORPUS_DIR", "/tmp/graft_bench_corpus")
       val sPrep = session(32)
       val nTurns = materializeCorpus(sPrep, scalingConvs, corpusDir)
+      // the 8→32 pair's larger corpus lands in a sibling dir (reused
+      // verbatim when the sizes coincide); materialization happens before
+      // t0 so corpus generation never eats the measurement budget
+      val (corpusDir832, nTurns832) =
+        if (scalingConvs832 == scalingConvs) (corpusDir, nTurns)
+        else {
+          val d = corpusDir + "_8to32"
+          (d, materializeCorpus(sPrep, scalingConvs832, d))
+        }
       // single global warm: the flagship plan's codegen/parquet-footer
       // costs are JVM-wide, so one local[32] run warms every later session
       flagshipRun(sPrep, corpusDir)
@@ -378,7 +397,7 @@ object Bench {
       // budget, leaving no 8→32 block in the artifact)
       val nPrimary = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
       val s832 = if (nPrimary == 8) None
-                 else scalingEvidence(corpusDir, nTurns, 8,
+                 else scalingEvidence(corpusDir832, nTurns832, 8,
                    t0 + budgetSec * 250000000L, log832)
       // primary pair: bandwidth-uncontended N→4N-node proxy (default 1→4)
       // gets everything left of the budget

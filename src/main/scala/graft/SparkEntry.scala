@@ -460,6 +460,52 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // ——— greedy sequence packing (training-batch assembly) ———
+    // Pack documents into fixed-capacity token bins — the op that turns a
+    // curated corpus into training sequences. Greedy packing is a
+    // non-associative prefix scan, so it runs as hash-sharded independent
+    // streams (ops.Packing): one exchange on (source, shard) + an
+    // in-partition sort, O(1) state per stream. nShards scales with the
+    // cluster; packing quality is shard-size-independent in expectation.
+    // Oracle = a DuckDB recursive CTE walking each stream row by row —
+    // the exact same greedy recurrence, implemented the opposite way.
+    "q_pack_greedy" -> ((s, dir) =>
+      graft.ops.Packing.packGreedy(Tables.documents(s, dir),
+          capacity = 200L, nShards = 4)
+        .toDF().orderBy("doc_id")),
+
+    // ——— eval-set decontamination (n-gram overlap) ———
+    // Flag training documents that share word 3-grams with a held-out
+    // eval set (here: the deterministic doc_id % 97 == 0 slice — in
+    // production, the benchmark suites). The eval n-gram vocabulary is
+    // fixed-size and tiny relative to the corpus, so it BROADCASTS; the
+    // train side is one scan + explode (bounded by tokens-per-doc) + a
+    // partial-aggregating per-doc count — no corpus-sized shuffle beyond
+    // the final per-doc aggregate. Contamination = ≥30% of a doc's
+    // distinct 3-grams appearing in the eval vocabulary.
+    "q_decontaminate" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val ngr = toks.select(col("doc_id"),
+        explode(array_distinct(
+          when(size(col("a")) >= 3,
+            transform(sequence(lit(1), size(col("a")) - 2),
+              i => concat_ws(" ", element_at(col("a"), i),
+                element_at(col("a"), i + 1), element_at(col("a"), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("g"))
+      val evalNgrams = ngr.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct().withColumn("__hit", lit(1))
+      ngr.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalNgrams), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("total_ngrams"),
+          count(col("__hit")).as("overlap_ngrams"))
+        .withColumn("overlap_ratio",
+          round(col("overlap_ngrams").cast("double") / col("total_ngrams"), 6))
+        .withColumn("contaminated", col("overlap_ratio") >= 0.3)
+        .orderBy("doc_id")
+    }),
+
     // ——— exact per-group quantiles (p50/p90/p99 inter-turn gap) ———
     // Spark's `percentile` is the exact sort-based form with R-7 linear
     // interpolation — the same definition as DuckDB's quantile_cont, so
@@ -521,6 +567,27 @@ object SparkEntry {
         Incremental.partials(t.filter(col("turn_idx") >= 20)))
         .select(col("conv_id"), explode(col("tool_hist")).as(Seq("tool", "n")))
         .orderBy("conv_id", "tool")
+    }),
+
+    // ——— mergeable distinct-count sketch (KMV) in the incremental path ———
+    // Slice sketches merged through the store equal the direct sketch
+    // EXACTLY (k smallest of a union ⊆ union of per-side k smallest), so
+    // the oracle below — a direct single-pass KMV over all turns — is the
+    // merge-equals-direct correctness statement for cardinality features,
+    // estimator arithmetic included (same multiply-then-divide op order in
+    // both engines). See functions.Kmv for why KMV and not hll_sketch_agg.
+    "q_incremental_distinct" -> ((s, dir) => {
+      import graft.features.Incremental
+      import graft.functions.Kmv
+      val t = Tables.turns(s, dir)
+      Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < 20)),
+        Incremental.partials(t.filter(col("turn_idx") >= 20)))
+        .filter(col("tok_kmv").isNotNull)
+        .select(col("conv_id"),
+          size(col("tok_kmv")).as("kmv_size"),
+          round(Kmv.estimate(col("tok_kmv"), Incremental.KmvK), 6).as("est_distinct"))
+        .orderBy("conv_id")
     }),
 
     // ——— scale twin of q_gap_quantiles: sketch-based quantiles ———
@@ -1573,6 +1640,46 @@ object SparkEntry {
         |      < CASE WHEN role = 'tool' THEN 100 WHEN role = 'user' THEN 20 ELSE 5 END
         |ORDER BY conv_id, turn_idx""".stripMargin),
 
+    // The recursive CTE walks each (source, shard) stream row by row —
+    // the identical greedy recurrence to ops.Packing, implemented the
+    // opposite way (row recursion vs a sorted-group scan).
+    "q_pack_greedy" -> (
+      """WITH RECURSIVE d AS (
+        |  SELECT source, CAST(doc_id % 4 AS INTEGER) AS shard, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt,
+        |    row_number() OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT source, shard, doc_id, tok_cnt, rn,
+        |    1 AS bin, tok_cnt AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.shard, d.doc_id, d.tok_cnt, d.rn,
+        |    CASE WHEN p.fill + d.tok_cnt > 200 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.tok_cnt > 200 THEN d.tok_cnt
+        |         ELSE p.fill + d.tok_cnt END
+        |  FROM pack p JOIN d ON d.source = p.source AND d.shard = p.shard
+        |    AND d.rn = p.rn + 1)
+        |SELECT source, shard, doc_id, tok_cnt, CAST(bin AS INTEGER) AS bin
+        |FROM pack ORDER BY doc_id""".stripMargin),
+
+    "q_decontaminate" -> (
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |ngr AS (
+        |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+        |  FROM toks, unnest(range(1, len(a) - 1)) AS t(i)),
+        |ev AS (SELECT DISTINCT g FROM ngr WHERE doc_id % 97 = 0)
+        |SELECT doc_id, total_ngrams, overlap_ngrams, overlap_ratio,
+        |  overlap_ratio >= 0.3 AS contaminated
+        |FROM (
+        |  SELECT n.doc_id, count(*) AS total_ngrams,
+        |    count(ev.g) AS overlap_ngrams,
+        |    round(CAST(count(ev.g) AS DOUBLE) / count(*), 6) AS overlap_ratio
+        |  FROM ngr n LEFT JOIN ev ON n.g = ev.g
+        |  WHERE n.doc_id % 97 <> 0
+        |  GROUP BY 1)
+        |ORDER BY doc_id""".stripMargin),
+
     "q_gap_quantiles" -> Oracle.withTurns(
       """, gaps AS (
         |  SELECT role,
@@ -2095,6 +2202,25 @@ object SparkEntry {
     "q_incremental_hist" -> Oracle.withTurns(
       """SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS n
         |FROM turns WHERE tool IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // direct single-pass KMV — the Spark side reaches the same sketch via
+    // slice partials + store merge, so equality IS the incremental
+    // cardinality-maintenance check; 1152921504606846976.0 = 2^60 (the
+    // md5Long hash width), 31 = k-1 at k=32
+    "q_incremental_distinct" -> Oracle.withTurns(
+      """, tok AS (
+        |  SELECT DISTINCT conv_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM (
+        |    SELECT conv_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM turns WHERE text IS NOT NULL)),
+        |rk AS (
+        |  SELECT conv_id, h,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY h) AS rn
+        |  FROM tok)
+        |SELECT conv_id, CAST(count(*) AS INTEGER) AS kmv_size,
+        |  round(CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+        |        ELSE 31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END, 6)
+        |    AS est_distinct
+        |FROM rk WHERE rn <= 32 GROUP BY 1 ORDER BY conv_id""".stripMargin),
 
     // static pivot twin of the dynamic wide export — the closed tool
     // vocabulary (tool_0..3 + none) makes the column set, and the aliases

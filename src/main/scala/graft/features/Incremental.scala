@@ -39,6 +39,14 @@ import graft.ops.LagLead
   */
 object Incremental {
 
+  /** Sketch width of the mergeable distinct-token KMV (tok_kmv): 32 longs
+    * per conversation, ~18% relative error from the estimator — sized for
+    * the fixture's per-conversation token cardinality (≈70-140 distinct),
+    * so both the exact branch (size < k) and the estimator branch are
+    * live. Production tuning is a width knob, same shapes.
+    */
+  val KmvK = 32
+
   /** Per-conversation sufficient statistics of one slice of turns.
     * Includes the open-set tool histogram (`tool_hist`, map<tool, count>) —
     * a map-sum is itself a mergeable summary, so the A3/A20 histogram
@@ -64,6 +72,10 @@ object Incremental {
       .groupBy(col("conv_id"))
       .agg(map_from_entries(
         array_sort(collect_list(struct(col("tool"), col("__n"))))).as("tool_hist"))
+    // mergeable distinct-token sketch (tok_kmv): KMV, not HLL — slice
+    // sketches must merge to EXACTLY the direct sketch for the store's
+    // merge-equals-direct contract to stay checkable (see functions.Kmv)
+    val kmv = graft.functions.Kmv.tokenSketch(turns, "conv_id", "text", KmvK)
     turns
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         len.as("__len"), us.as("__us"), gapBreak.as("__brk"))
@@ -84,6 +96,7 @@ object Incremental {
         max(col("__us")).as("last_us"),
         (sum(col("__brk")) + lit(1L)).as("sessions"))
       .join(hist, Seq("conv_id"), "left")
+      .join(kmv, Seq("conv_id"), "left")
   }
 
   /** Merge two partials frames (b's turns at-or-after a's, per contract).
@@ -129,7 +142,9 @@ object Incremental {
         least(l("first_us"), r("first_us")).as("first_us") :+
         greatest(l("last_us"), r("last_us")).as("last_us") :+
         coalesce(stitched, l("sessions"), r("sessions")).as("sessions") :+
-        histMerged.as("tool_hist"): _*)
+        histMerged.as("tool_hist") :+
+        graft.functions.Kmv.mergeSketches(
+          l("tok_kmv"), r("tok_kmv"), KmvK).as("tok_kmv"): _*)
   }
 
   /** Feature columns from merged partials — pure per-row column math, no

@@ -68,6 +68,42 @@ class IncrementalSpec extends SparkSpec {
     assert(noTools.isNullAt(0))
   }
 
+  test("KMV sketch: slice merges equal the direct sketch exactly, both branches live") {
+    // conv "big": ~90 distinct tokens across 6 turns (estimator branch,
+    // size == k); conv "small": 5 distinct tokens (exact branch). Token
+    // sets overlap across slices so the distinct-union property is real.
+    val rows =
+      (0 until 6).map { i =>
+        val words = (0 until 20).map(j => s"w${(i * 17 + j) % 90}").mkString(" ")
+        ("big", i, "user", words, None: Option[String], i.toLong)
+      } ++ Seq(
+        ("small", 0, "user", "a b c", None: Option[String], 0L),
+        ("small", 1, "user", "b c d e", None, 1L))
+    val t = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "h")
+      .withColumn("ts", timestamp_micros(col("h") * 3600L * 1000000L))
+      .drop("h")
+    def sketches(p: DataFrame): Map[String, Seq[Long]] =
+      p.select(col("conv_id"), col("tok_kmv")).as[(String, Seq[Long])]
+        .collect().toMap
+    val direct = sketches(Incremental.partials(t))
+    assert(direct("big").size == Incremental.KmvK, "estimator branch not live")
+    assert(direct("small").size == 5, "exact branch not live")
+    for (k <- 1 to 5) {
+      val got = sketches(Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < k)),
+        Incremental.partials(t.filter(col("turn_idx") >= k))))
+      assert(got == direct, s"split at turn_idx=$k: merged sketch != direct")
+    }
+    // the estimator lands within the ~1/sqrt(k-2) KMV error band of truth
+    val est = Incremental.partials(t)
+      .select(col("conv_id"),
+        graft.functions.Kmv.estimate(col("tok_kmv"), Incremental.KmvK))
+      .as[(String, Double)].collect().toMap
+    assert(est("small") == 5.0)
+    assert(math.abs(est("big") - 90.0) / 90.0 < 0.4,
+      s"estimate ${est("big")} too far from 90")
+  }
+
   test("three-way merge associates") {
     val t = fixture
     val Seq(p1, p2, p3) = Seq(
