@@ -506,6 +506,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— repetition-based quality signals (Gopher-style filters) ———
+    // The within-document repetition family from the Gopher/MassiveText
+    // quality rules, adapted to whitespace tokens: top-2-gram fraction
+    // (occurrences of the most frequent word 2-gram ÷ all 2-grams) and
+    // duplicate-3-gram fraction (1 − distinct/total). Each n-gram pass is
+    // one scan + bounded explode + two-level aggregate (partial map-side
+    // combine on (doc_id, gram), then per-doc) — the same shuffle shape at
+    // any corpus size; the two passes join on doc_id. Filtering is the
+    // consumer's threshold choice; the engine emits the signals.
+    "q_quality_repetition" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      def grams(n: Int) = toks.select(col("doc_id"),
+        explode(when(size(col("a")) >= n,
+          transform(sequence(lit(1), size(col("a")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("a"), i + j)): _*)))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val g2 = grams(2).groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("__n")).as("top2_cnt"), sum(col("__n")).as("n2"))
+      val g3 = grams(3).groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("__n")).as("n3"), count(lit(1)).as("d3"))
+      g2.join(g3, Seq("doc_id"))
+        .select(col("doc_id"), col("n2"), col("n3"),
+          round(col("top2_cnt").cast("double") / col("n2"), 6).as("top2_frac"),
+          round(lit(1.0) - col("d3").cast("double") / col("n3"), 6).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ——— exact per-group quantiles (p50/p90/p99 inter-turn gap) ———
     // Spark's `percentile` is the exact sort-based form with R-7 linear
     // interpolation — the same definition as DuckDB's quantile_cont, so
@@ -588,6 +618,37 @@ object SparkEntry {
           size(col("tok_kmv")).as("kmv_size"),
           round(Kmv.estimate(col("tok_kmv"), Incremental.KmvK), 6).as("est_distinct"))
         .orderBy("conv_id")
+    }),
+
+    // ——— mergeable binned-gap histogram → quantiles in the incremental path ———
+    // The deterministic mergeable quantile summary: a fixed-bin (integer
+    // hour `div`, overflow at 96) histogram of inter-turn gaps rides the
+    // same partials as counts/moments. Unlike KLL/t-digest its merge is a
+    // plain key-union count-sum — no absorption-order dependence — and the
+    // slice-boundary gap (invisible to either slice) is stitched in at
+    // merge from (last_us, first_us), the same trick as `sessions`, so
+    // merged ≡ direct exactly (Σcounts = n-1 per conversation). p50_bin is
+    // the lower-median bin read off the merged histogram with pure integer
+    // rank arithmetic — the quantile feature a store can maintain
+    // incrementally at 10¹² turns. Oracle = the direct single-pass binned
+    // histogram + the same rank selection.
+    "q_incremental_gap_hist" -> ((s, dir) => {
+      import graft.features.Incremental
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.turns(s, dir)
+      val ex = Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < 20)),
+        Incremental.partials(t.filter(col("turn_idx") >= 20)))
+        .select(col("conv_id"), explode(col("gap_hist")).as(Seq("bin", "cnt")))
+      val wc = Window.partitionBy(col("conv_id")).orderBy(col("bin"))
+      val wa = Window.partitionBy(col("conv_id"))
+      ex.withColumn("__cum", sum(col("cnt")).over(wc))
+        .withColumn("__total", sum(col("cnt")).over(wa))
+        .withColumn("p50_bin",
+          min(when(col("__cum") * 2 >= col("__total") + 1, col("bin"))).over(wa)
+            .cast("int"))
+        .drop("__cum", "__total")
+        .orderBy("conv_id", "bin")
     }),
 
     // ——— scale twin of q_gap_quantiles: sketch-based quantiles ———
@@ -1680,6 +1741,26 @@ object SparkEntry {
         |  GROUP BY 1)
         |ORDER BY doc_id""".stripMargin),
 
+    "q_quality_repetition" -> (
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+        |  FROM toks, unnest(range(1, len(a))) AS t(i) WHERE len(a) >= 2),
+        |g3 AS (
+        |  SELECT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS g
+        |  FROM toks, unnest(range(1, len(a) - 1)) AS t(i) WHERE len(a) >= 3),
+        |s2 AS (
+        |  SELECT doc_id, CAST(max(n) AS BIGINT) AS top2_cnt, CAST(sum(n) AS BIGINT) AS n2
+        |  FROM (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |s3 AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n3, CAST(count(*) AS BIGINT) AS d3
+        |  FROM (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT s2.doc_id AS doc_id, n2, n3,
+        |  round(CAST(top2_cnt AS DOUBLE) / n2, 6) AS top2_frac,
+        |  round(1.0 - CAST(d3 AS DOUBLE) / n3, 6) AS dup3_frac
+        |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+        |ORDER BY 1""".stripMargin),
+
     "q_gap_quantiles" -> Oracle.withTurns(
       """, gaps AS (
         |  SELECT role,
@@ -2221,6 +2302,32 @@ object SparkEntry {
         |        ELSE 31.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END, 6)
         |    AS est_distinct
         |FROM rk WHERE rn <= 32 GROUP BY 1 ORDER BY conv_id""".stripMargin),
+
+    // direct single-pass binned gap histogram + integer-rank lower-median
+    // bin — the Spark side reaches the same rows via slice partials merged
+    // with the boundary-gap stitch, so equality proves merged ≡ direct for
+    // the mergeable-quantile summary. 3600000000 = the hour bin in µs,
+    // 96 = the overflow bin; cum*2 >= total+1 is the divisionless
+    // lower-median rank test (identical in the Spark form).
+    "q_incremental_gap_hist" -> Oracle.withTurns(
+      """, g AS (
+        |  SELECT conv_id, epoch_us(ts) -
+        |    epoch_us(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap_us
+        |  FROM turns),
+        |h AS (
+        |  SELECT conv_id,
+        |    CAST(least(gap_us // 3600000000, 96) AS INTEGER) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT conv_id, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY conv_id ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY conv_id) AS total
+        |  FROM h)
+        |SELECT conv_id, bin, cnt,
+        |  CAST(min(CASE WHEN cum * 2 >= total + 1 THEN bin END)
+        |       OVER (PARTITION BY conv_id) AS INTEGER) AS p50_bin
+        |FROM c ORDER BY conv_id, bin""".stripMargin),
 
     // static pivot twin of the dynamic wide export — the closed tool
     // vocabulary (tool_0..3 + none) makes the column set, and the aliases

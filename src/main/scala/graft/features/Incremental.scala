@@ -47,6 +47,25 @@ object Incremental {
     */
   val KmvK = 32
 
+  /** Inter-turn gap histogram binning: integer HOURS (exact `div` — no
+    * floating-point boundary ties between engines), overflow bin at
+    * [[GapBinMax]]. Fixture gaps run ~47s to ~3.2 days, so hour bins keep
+    * both the bulk and the overflow bin populated.
+    */
+  val GapBinUs: Long = 3600L * 1000000L
+  val GapBinMax: Int = 96
+
+  /** Map-sum of two histogram maps (either side null ⇒ the other side):
+    * key union, per-key count sum, entries RE-SORTED by key so merged maps
+    * keep the deterministic byte layout partials established (map_zip_with
+    * emits left-then-right key order, not sorted).
+    */
+  private[graft] def mapSum(a: Column, b: Column): Column =
+    when(a.isNull, b)
+      .when(b.isNull, a)
+      .otherwise(map_from_entries(array_sort(map_entries(
+        map_zip_with(a, b, (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L)))))))
+
   /** Per-conversation sufficient statistics of one slice of turns.
     * Includes the open-set tool histogram (`tool_hist`, map<tool, count>) —
     * a map-sum is itself a mergeable summary, so the A3/A20 histogram
@@ -76,6 +95,26 @@ object Incremental {
     // sketches must merge to EXACTLY the direct sketch for the store's
     // merge-equals-direct contract to stay checkable (see functions.Kmv)
     val kmv = graft.functions.Kmv.tokenSketch(turns, "conv_id", "text", KmvK)
+    // binned inter-turn gap histogram (gap_hist, map<hour-bin, count>): a
+    // fixed-bin histogram is the DETERMINISTIC mergeable quantile summary —
+    // unlike KLL/t-digest sketches its merge is a plain key-union count-sum
+    // with no absorption-order dependence, so slice histograms merge to
+    // exactly the direct histogram and any quantile read off it is
+    // bit-reproducible in the oracle. The slice's boundary gap (last turn
+    // of slice a → first turn of slice b) is not visible to either side;
+    // [[merge]] adds it from (last_us, first_us), the same stitch trick as
+    // `sessions`, preserving Σcounts == n-1 per conversation.
+    val gapUs = us - LagLead.micros(lag(col("ts"), 1).over(w))
+    val gaps = turns
+      .select(col("conv_id"), gapUs.as("__gap_us"))
+      .filter(col("__gap_us").isNotNull)
+      .select(col("conv_id"),
+        least(expr(s"__gap_us div $GapBinUs"), lit(GapBinMax.toLong))
+          .cast("int").as("__bin"))
+      .groupBy(col("conv_id"), col("__bin")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("conv_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("__bin"), col("__n"))))).as("gap_hist"))
     turns
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         len.as("__len"), us.as("__us"), gapBreak.as("__brk"))
@@ -97,6 +136,7 @@ object Incremental {
         (sum(col("__brk")) + lit(1L)).as("sessions"))
       .join(hist, Seq("conv_id"), "left")
       .join(kmv, Seq("conv_id"), "left")
+      .join(gaps, Seq("conv_id"), "left")
   }
 
   /** Merge two partials frames (b's turns at-or-after a's, per contract).
@@ -124,15 +164,23 @@ object Incremental {
       r("first_us") - l("last_us") > gapSeconds * 1000000L,
       l("sessions") + r("sessions")
     ).otherwise(l("sessions") + r("sessions") - 1L)
-    // map-sum of the tool histograms: union of keys, per-key count sum;
-    // re-sorted by key after the zip so merged maps keep the deterministic
-    // byte layout partials established (map_zip_with emits left-then-right
-    // key order, not sorted)
-    val histMerged = when(l("tool_hist").isNull, r("tool_hist"))
-      .when(r("tool_hist").isNull, l("tool_hist"))
-      .otherwise(map_from_entries(array_sort(map_entries(
-        map_zip_with(l("tool_hist"), r("tool_hist"),
-          (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L)))))))
+    // map-sum of the tool histograms: union of keys, per-key count sum
+    val histMerged = mapSum(l("tool_hist"), r("tool_hist"))
+    // gap histogram: the boundary gap (a's last turn → b's first turn)
+    // belongs to neither slice's histogram — bin it from the boundary
+    // timestamps and add one count, exactly the `sessions` stitch trick.
+    // Σcounts stays n-1: (na-1) + (nb-1) + 1 = na+nb-1.
+    val boundaryBin = least(
+      (r("first_us") - l("last_us")) - pmod(r("first_us") - l("last_us"), lit(GapBinUs)),
+      lit(GapBinMax.toLong * GapBinUs))
+    val boundaryMap = map_from_arrays(
+      array((boundaryBin / lit(GapBinUs)).cast("int")), array(lit(1L)))
+    // boundary only binnable when both sides carry timestamps; a one-sided
+    // conversation (or a null-ts slice) falls back to the plain map-sum,
+    // which passes a single present side through unchanged
+    val gapMerged = when(l("first_us").isNotNull && r("first_us").isNotNull,
+        mapSum(mapSum(l("gap_hist"), r("gap_hist")), boundaryMap))
+      .otherwise(mapSum(l("gap_hist"), r("gap_hist")))
     a.alias("l").join(b.alias("r"), l("conv_id") === r("conv_id"), "full_outer")
       .select(
         coalesce(l("conv_id"), r("conv_id")).as("conv_id") +:
@@ -144,7 +192,8 @@ object Incremental {
         coalesce(stitched, l("sessions"), r("sessions")).as("sessions") :+
         histMerged.as("tool_hist") :+
         graft.functions.Kmv.mergeSketches(
-          l("tok_kmv"), r("tok_kmv"), KmvK).as("tok_kmv"): _*)
+          l("tok_kmv"), r("tok_kmv"), KmvK).as("tok_kmv") :+
+        gapMerged.as("gap_hist"): _*)
   }
 
   /** Feature columns from merged partials — pure per-row column math, no

@@ -176,4 +176,39 @@ object StreamFeatures {
       .withColumn("fp_len", length(col(textCol)).cast("long"))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp", "fp_len")
+
+  /** Streaming feature-store maintenance: each micro-batch of turns is one
+    * append slice merged into the [[graft.features.IncrementalStore]]
+    * generation store via `foreachBatch` — the ingestion loop that keeps
+    * the feature matrix current without ever re-aggregating the corpus
+    * (cycle cost O(batch) + O(|touched conversations|)).
+    *
+    * Exactly-once: `foreachBatch` is an AT-LEAST-ONCE sink (a crash after
+    * the store flip but before the checkpoint commit replays the batch on
+    * restart), and the store's slice fingerprint in `_CURRENT` is what
+    * closes the gap — the replayed batch produces the same partials
+    * fingerprint and upsert detects it as already-merged, a no-op. The
+    * sink is idempotent per batch, so at-least-once delivery composes to
+    * exactly-once store state.
+    *
+    * Ordering contract: inherited from [[graft.features.Incremental.merge]]
+    * — each batch's turns must be at-or-after the stored turns per
+    * conversation (append-only ingestion; true of per-conversation-ordered
+    * transcript streams). Empty batches are skipped, not merged (an empty
+    * slice would burn a generation and a fingerprint on no data).
+    */
+  def incrementalUpsert(turns: DataFrame, storeDir: String,
+                        checkpointDir: String,
+                        gapSeconds: Long = graft.SparkEntry.SessionGapSeconds) =
+    turns.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.features.IncrementalStore.upsert(
+            batch.sparkSession, storeDir, batch.toDF(), gapSeconds)
+          ()
+        }
+      }
+      .start()
 }

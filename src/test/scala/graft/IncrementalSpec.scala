@@ -104,6 +104,33 @@ class IncrementalSpec extends SparkSpec {
       s"estimate ${est("big")} too far from 90")
   }
 
+  test("gap histogram: boundary-stitched merges equal the direct histogram at every split") {
+    val t = fixture
+    def gapPairs(p: DataFrame): Seq[(String, Int, Long)] =
+      p.select(col("conv_id"), explode(col("gap_hist")).as(Seq("bin", "cnt")))
+        .orderBy("conv_id", "bin")
+        .as[(String, Int, Long)].collect().toSeq
+    // fixture gaps in hours: a → 1,1,1,30,1,1; b → 1; c → 50
+    val direct = gapPairs(Incremental.partials(t))
+    assert(direct == Seq(("a", 1, 5L), ("a", 30, 1L), ("b", 1, 1L), ("c", 50, 1L)))
+    for (k <- 1 to 6) {
+      val got = gapPairs(Incremental.merge(
+        Incremental.partials(t.filter(col("turn_idx") < k)),
+        Incremental.partials(t.filter(col("turn_idx") >= k))))
+      assert(got == direct, s"split at turn_idx=$k diverged: $got")
+    }
+    // Σcounts = n-1 per conversation survives any merge (boundary stitch
+    // adds exactly the one gap neither slice saw)
+    val merged = Incremental.merge(
+      Incremental.partials(t.filter(col("turn_idx") < 4)),
+      Incremental.partials(t.filter(col("turn_idx") >= 4)))
+    merged.select(col("conv_id"), col("n"),
+        aggregate(map_values(col("gap_hist")), lit(0L), _ + _).as("gsum"))
+      .as[(String, Long, Long)].collect().foreach {
+        case (cid, n, gsum) => assert(gsum == n - 1, s"$cid: gsum=$gsum n=$n")
+      }
+  }
+
   test("three-way merge associates") {
     val t = fixture
     val Seq(p1, p2, p3) = Seq(

@@ -255,6 +255,41 @@ class InfraSpec extends SparkSpec {
       s"expected first-wins keepers 1,2,5 — got $kept")
   }
 
+  test("streaming incremental upsert: micro-batches maintain the store exactly, replay no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, String, String, Option[String], java.sql.Timestamp)]
+    val df = mem.toDF().toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val storeDir = Files.createTempDirectory("inc_stream_store").toString
+    val ckpt = Files.createTempDirectory("inc_stream_ckpt").toString
+    val q = StreamFeatures.incrementalUpsert(df, storeDir, ckpt)
+    // two append-only slices of one conversation + a conv seen only late
+    val b1 = Seq(
+      ("a", 0, "user", "hello world", None: Option[String], ts("2024-01-01 00:00:00")),
+      ("a", 1, "assistant", "hi there", Some("tool_1"), ts("2024-01-01 01:00:00")))
+    val b2 = Seq(
+      ("a", 2, "user", "more text", Some("tool_1"), ts("2024-01-01 02:00:00")),
+      ("b", 0, "user", "late conv", None: Option[String], ts("2024-01-01 03:00:00")))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = (b1 ++ b2).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = graft.features.IncrementalStore.features(spark, storeDir)
+      .orderBy("conv_id").collect().map(_.toString).toSeq
+    val direct = graft.features.Incremental.finalize(
+      graft.features.Incremental.partials(all))
+      .orderBy("conv_id").collect().map(_.toString).toSeq
+    assert(got == direct)
+    // at-least-once replay of the LAST batch (crash between store flip and
+    // checkpoint commit): the slice fingerprint makes it a detected no-op
+    val gens = new java.io.File(storeDir).list().filter(_.startsWith("gen-")).sorted.toSeq
+    graft.features.IncrementalStore.upsert(spark, storeDir,
+      b2.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    val gens2 = new java.io.File(storeDir).list().filter(_.startsWith("gen-")).sorted.toSeq
+    assert(gens2 == gens, s"replayed batch advanced the store: $gens -> $gens2")
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic sigs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.fromDocuments(docs)

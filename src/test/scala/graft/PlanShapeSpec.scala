@@ -97,4 +97,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(plan("q_neardup_lsh")) <= 8)
     assert(exchanges(plan("q_simhash_neardup")) <= 4)
   }
+
+  test("decontamination: eval vocabulary broadcasts, corpus side never shuffles for the join") {
+    val p = plan("q_decontaminate")
+    assert(count(p, "BroadcastHashJoin") == 1,
+      s"eval n-gram set must broadcast (fixed-size suite vs unbounded corpus):\n$p")
+    assert(count(p, "SortMergeJoin|CartesianProduct") == 0)
+  }
+
+  test("greedy packing: one hash exchange on the shard key, no aggregation") {
+    val p = plan("q_pack_greedy")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"packing must shuffle exactly once (the shard-stream exchange):\n$p")
+    assert(aggs(p) == 0, "packing is a scan, not an aggregation")
+  }
 }
