@@ -536,6 +536,112 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— content-defined chunk-level dedup (CDC) ———
+    // Whole-document fingerprints miss boilerplate shared BETWEEN
+    // documents; content-defined chunking finds it: token hashes feed a
+    // 4-gram rolling hash, and positions where it ≡ 0 (mod 16) become
+    // chunk boundaries — so an insertion early in a page shifts only the
+    // chunk it lands in, and every other chunk keeps its signature
+    // (the rsync/LBFS boundary trick). Chunking is row-local higher-order
+    // Column algebra (one projection, no shuffle, no UDF); the only
+    // shuffle is the chunk-signature count on a 60-bit md5Long key.
+    // Emits per-doc chunk counts + how many chunks also appear elsewhere.
+    "q_chunk_dedup" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val sigs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .withColumn("h", TextFns.cdcHashes(col("a")))
+        .withColumn("cuts", TextFns.cdcCuts(col("a"), col("h")))
+        .select(col("doc_id"),
+          explode(TextFns.cdcChunks(col("a"), col("cuts"))).as("chunk"))
+        .select(col("doc_id"), TextFns.md5Long(col("chunk")).as("sig"))
+      val occ = sigs.groupBy(col("sig")).agg(count(lit(1)).as("n_occ"))
+      sigs.join(occ, Seq("sig"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("n_occ") > 1, 1)).as("dup_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— TF-IDF top terms per document ———
+    // The classic corpus-statistics operator: tf = term count ÷ doc
+    // length, idf = ln(N ÷ docfreq), top-3 terms per doc by score. Three
+    // aggregates share one token explode; the docfreq vocabulary and the
+    // 1-row corpus count are broadcast back (vocabulary ≪ corpus — the
+    // join direction that survives 100 TB), and the per-doc top-k is a
+    // rank window inside the doc_id partitioning the tf aggregate
+    // already established. Ties break on the term string.
+    "q_tfidf_top" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dlen"))
+      val dfr = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dl, Seq("doc_id")).join(broadcast(dfr), Seq("t"))
+        .crossJoin(broadcast(nd))
+        .withColumn("s",
+          (col("cnt").cast("double") / col("dlen")) *
+            log(col("n_docs").cast("double") / col("df")))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("t"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("int").as("rk"),
+          col("t").as("term"), round(col("s"), 6).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // ——— unigram-LM perplexity quality score ———
+    // The CCNet-style quality signal: train a unigram language model on
+    // the corpus itself (token count ÷ corpus total), score each document
+    // by its mean negative log-likelihood — low-NLL docs are boringly
+    // typical, high-NLL docs are noise/gibberish; both tails get filtered
+    // in production. The LM is the vocabulary aggregate (tiny, broadcast
+    // back); scoring is one joined scan + per-doc aggregate. This is the
+    // distributed two-pass shape a real KenLM-scored pipeline uses, with
+    // the model table standing in for the external LM.
+    "q_quality_lm" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val v = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val tot = v.agg(sum(col("cnt")).as("total"))
+      val lp = v.crossJoin(tot)
+        .select(col("t"), log(col("cnt").cast("double") / col("total")).as("lp"))
+      toks.join(broadcast(lp), Seq("t"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), round(-avg(col("lp")), 6).as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— source-mixture token budgeting ———
+    // Training-mixture construction: given a token budget (40% of the
+    // corpus) split EQUALLY across sources, each source keeps a
+    // deterministic hash-share of its documents sized so its expected
+    // token take ≈ budget/n_sources, capped at keeping everything.
+    // Thresholds are exact integer arithmetic on per-source token sums
+    // (a sources-sized frame, broadcast back); membership is the same
+    // hash-mod rule as q_sample_hash, so the selection is reproducible
+    // at any parallelism and composes with resumable shards. Threshold
+    // product 10^6 × budget-tokens stays far inside BIGINT at 100 TB
+    // (10^13 tokens → 10^19 < 2^63).
+    "q_mix_budget" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      val bySrc = d.groupBy(col("source")).agg(sum(col("tok_cnt")).as("src_toks"))
+      val g = bySrc.agg(count(lit(1)).as("n_src"), sum(col("src_toks")).as("total"))
+      val thr = bySrc.crossJoin(g)
+        .select(col("source"),
+          least(expr("1000000 * ((total * 2) div 5) div (n_src * src_toks)"),
+            lit(1000000L)).as("thr"))
+      d.join(broadcast(thr), Seq("source"))
+        .filter(md5Long(col("doc_id").cast("string")) % 1000000 < col("thr"))
+        .select(col("doc_id"), col("source"), col("tok_cnt"))
+        .orderBy("doc_id")
+    }),
+
     // ——— exact per-group quantiles (p50/p90/p99 inter-turn gap) ———
     // Spark's `percentile` is the exact sort-based form with R-7 linear
     // interpolation — the same definition as DuckDB's quantile_cont, so
@@ -1760,6 +1866,64 @@ object SparkEntry {
         |  round(1.0 - CAST(d3 AS DOUBLE) / n3, 6) AS dup3_frac
         |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
         |ORDER BY 1""".stripMargin),
+
+    // DuckDB lists are 1-indexed with inclusive slices; range(a,b) is
+    // end-exclusive, so b holds 1-based boundary positions in [4, n-1] —
+    // the same cut set as the Spark filter over sequence(4, n-1).
+    "q_chunk_dedup" -> (
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |hd AS (SELECT doc_id, a,
+        |  list_transform(a, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) % 1048576) AS h FROM d),
+        |bd AS (SELECT doc_id, a,
+        |  list_filter(range(4, len(a)), i ->
+        |    (h[i-3] + h[i-2]*31 + h[i-1]*961 + h[i]*29791) % 16 = 0) AS b FROM hd),
+        |cd AS (SELECT doc_id, a,
+        |  [CAST(0 AS BIGINT)] || b || [CAST(len(a) AS BIGINT)] AS cuts FROM bd),
+        |ch AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(cuts)),
+        |    c -> array_to_string(a[cuts[c]+1 : cuts[c+1]], ' '))) AS chunk FROM cd),
+        |sg AS (SELECT doc_id, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS sig FROM ch),
+        |sc AS (SELECT sig, count(*) AS n_occ FROM sg GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(CASE WHEN n_occ > 1 THEN 1 END) AS BIGINT) AS dup_chunks
+        |FROM sg JOIN sc USING (sig) GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
+    "q_tfidf_top" -> (
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dlen FROM tf GROUP BY 1),
+        |dfr AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.t,
+        |  (CAST(cnt AS DOUBLE) / dlen) * ln(CAST(n_docs AS DOUBLE) / df) AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfr USING (t) CROSS JOIN nd),
+        |rk AS (SELECT doc_id, t, s,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, t) AS rk FROM sc)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, t AS term, round(s, 6) AS tfidf
+        |FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin),
+
+    "q_quality_lm" -> (
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |v AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        |lp AS (SELECT t, ln(CAST(cnt AS DOUBLE) / total) AS lp FROM v CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, round(-avg(lp), 6) AS nll
+        |FROM toks JOIN lp USING (t) GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
+    "q_mix_budget" -> (
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt FROM documents),
+        |s AS (SELECT source, CAST(sum(tok_cnt) AS BIGINT) AS src_toks FROM d GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_src, CAST(sum(src_toks) AS BIGINT) AS total FROM s),
+        |thr AS (SELECT source,
+        |  least((1000000 * ((total * 2) // 5)) // (n_src * src_toks), 1000000) AS thr
+        |  FROM s CROSS JOIN g)
+        |SELECT d.doc_id, d.source, d.tok_cnt FROM d JOIN thr USING (source)
+        |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < thr
+        |ORDER BY doc_id""".stripMargin),
 
     "q_gap_quantiles" -> Oracle.withTurns(
       """, gaps AS (

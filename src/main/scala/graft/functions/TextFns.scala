@@ -101,6 +101,40 @@ object TextFns {
       .select(col(idCol), contrib.as("simhash"))
   }
 
+  /** Per-token 20-bit hashes — the rolling-hash input for content-defined
+    * chunking. Materialize this as its own column before [[cdcCuts]] so the
+    * md5 runs once per token (the 4 lambda references below would otherwise
+    * inline 4 copies past codegen subexpression elimination).
+    */
+  def cdcHashes(tokens: Column): Column =
+    transform(tokens, t => md5Long(t) % 1048576)
+
+  /** Content-defined chunk boundaries (the rsync/LBFS trick): a cut lands
+    * after 1-based token position i whenever the rolling hash of the 4-gram
+    * ending at i ≡ 0 (mod 16) — so boundaries depend only on a 4-token
+    * neighborhood, and an edit shifts at most the chunks it touches while
+    * every other chunk keeps its signature. Returns the full cut array
+    * `[0, …boundaries…, n]`; expected chunk length ≈ 16 tokens. Row-local
+    * Column algebra — no shuffle, no UDF.
+    */
+  def cdcCuts(a: Column, h: Column): Column = {
+    val b = when(size(a) >= 5,
+      filter(sequence(lit(4), size(a) - 1), i =>
+        (element_at(h, i - 3) + element_at(h, i - 2) * 31 +
+          element_at(h, i - 1) * 961 + element_at(h, i) * 29791) % 16 === 0))
+      .otherwise(array().cast("array<bigint>"))
+    concat(array(lit(0L)), b, array(size(a).cast("long")))
+  }
+
+  /** Chunk strings from a token array and its [[cdcCuts]] array: chunk c is
+    * tokens (cuts[c], cuts[c+1]] re-joined on single spaces, so
+    * `array_join(chunks, " ")` reconstructs the original text exactly.
+    */
+  def cdcChunks(a: Column, cuts: Column): Column =
+    transform(sequence(lit(1), size(cuts) - 1), c =>
+      concat_ws(" ", slice(a, (element_at(cuts, c) + 1).cast("int"),
+        (element_at(cuts, c + 1) - element_at(cuts, c)).cast("int"))))
+
   /** Explode a `bits`-wide hash column into `nBands` (band_idx, band_val)
     * rows — the pigeonhole index for Hamming-ball search: two hashes within
     * Hamming distance d < nBands MUST agree on at least one band, so

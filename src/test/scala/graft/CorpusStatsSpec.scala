@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Properties of the corpus-statistics operators the DuckDB oracle cannot
+  * express: content-defined chunking reconstruction + edit-locality, and
+  * determinism of the mixture-budget selection.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random token stream (seeded LCG, no RNG calls). */
+  private def synthTokens(n: Int, seed: Long): Seq[String] = {
+    var x = seed
+    (0 until n).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      s"w${java.lang.Long.remainderUnsigned(x >>> 16, 97)}"
+    }
+  }
+
+  private def chunksOf(texts: Seq[String]): Map[String, Seq[String]] =
+    texts.toDF("text")
+      .withColumn("a", split(col("text"), " "))
+      .withColumn("h", TextFns.cdcHashes(col("a")))
+      .withColumn("cuts", TextFns.cdcCuts(col("a"), col("h")))
+      .select(col("text"), TextFns.cdcChunks(col("a"), col("cuts")).as("chunks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+
+  test("cdc chunks reconstruct the text exactly, at every length") {
+    val texts = Seq(1, 2, 4, 5, 16, 40, 200).map(n => synthTokens(n, seed = n).mkString(" "))
+    val got = chunksOf(texts)
+    texts.foreach { t =>
+      assert(got(t).mkString(" ") == t, s"reconstruction failed for len ${t.length}")
+      assert(got(t).forall(_.nonEmpty))
+    }
+  }
+
+  test("cdc boundaries are edit-local: a prepend preserves the suffix chunks") {
+    val base = synthTokens(300, seed = 7)
+    val orig = base.mkString(" ")
+    val edited = (Seq("zz1", "zz2", "zz3") ++ base).mkString(" ")
+    val got = chunksOf(Seq(orig, edited))
+    val (a, b) = (got(orig), got(edited))
+    assert(a.size >= 8, s"fixture too short to be meaningful: ${a.size} chunks")
+    // boundaries depend only on a 4-token window, so cut positions in the
+    // untouched region shift by exactly 3: every original chunk except the
+    // first (whose leading window overlaps the edit) must survive verbatim
+    assert(a.tail.toSet.subsetOf(b.toSet),
+      s"lost ${(a.tail.toSet -- b.toSet).size} suffix chunks to a 3-token prepend")
+  }
+
+  test("mixture-budget selection is deterministic and a subset per source") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q_mix_budget")
+    val r1 = q(spark, dir).collect().map(_.toString).toSeq
+    val r2 = q(spark, dir).collect().map(_.toString).toSeq
+    assert(r1 == r2, "hash-mod selection must be bit-stable across runs")
+    assert(r1.nonEmpty && r1.size < 500, s"expected a strict subset, got ${r1.size}")
+    // the selected token total must be near the 40% budget: the hash-mod is
+    // uniform, so allow a wide-but-bounding band around the target
+    val toks = q(spark, dir).agg(sum("tok_cnt")).as[Long].head()
+    val total = Tables.documents(spark, dir)
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).as[Long].head()
+    val frac = toks.toDouble / total
+    assert(frac > 0.25 && frac < 0.55, s"selected fraction $frac far from the 0.4 budget")
+  }
+}
