@@ -543,8 +543,12 @@ object SparkEntry {
     // chunk boundaries — so an insertion early in a page shifts only the
     // chunk it lands in, and every other chunk keeps its signature
     // (the rsync/LBFS boundary trick). Chunking is row-local higher-order
-    // Column algebra (one projection, no shuffle, no UDF); the only
-    // shuffle is the chunk-signature count on a 60-bit md5Long key.
+    // Column algebra (one projection, no shuffle, no UDF). The corpus-wide
+    // occurrence count rides a count-over-window on the 60-bit sig — NOT a
+    // groupBy+self-join, which would rerun the md5-per-token chunking on
+    // both sides (exchange reuse does not fire across the join's aliases)
+    // and hand AQE a corpus-sized frame to broadcast. One chunking pass,
+    // one exchange on sig, one on doc_id.
     // Emits per-doc chunk counts + how many chunks also appear elsewhere.
     "q_chunk_dedup" -> ((s, dir) => {
       import graft.functions.TextFns
@@ -555,8 +559,8 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(TextFns.cdcChunks(col("a"), col("cuts"))).as("chunk"))
         .select(col("doc_id"), TextFns.md5Long(col("chunk")).as("sig"))
-      val occ = sigs.groupBy(col("sig")).agg(count(lit(1)).as("n_occ"))
-      sigs.join(occ, Seq("sig"))
+      sigs
+        .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("sig"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("n_occ") > 1, 1)).as("dup_chunks"))
@@ -565,20 +569,24 @@ object SparkEntry {
 
     // ——— TF-IDF top terms per document ———
     // The classic corpus-statistics operator: tf = term count ÷ doc
-    // length, idf = ln(N ÷ docfreq), top-3 terms per doc by score. Three
-    // aggregates share one token explode; the docfreq vocabulary and the
-    // 1-row corpus count are broadcast back (vocabulary ≪ corpus — the
-    // join direction that survives 100 TB), and the per-doc top-k is a
-    // rank window inside the doc_id partitioning the tf aggregate
-    // already established. Ties break on the term string.
+    // length, idf = ln(N ÷ docfreq), top-3 terms per doc by score.
+    // Doc length and docfreq ride count-windows over the ONE (doc_id,
+    // term) aggregate — the groupBy-then-join-back spelling tokenizes the
+    // whole corpus once per derived frame (column pruning defeats
+    // exchange reuse; measured: 3 parquet scans + 3 explode/agg passes).
+    // Here the corpus is read and exploded exactly once; everything after
+    // is tf-sized (distinct doc×term, ≪ token stream). The doc_id
+    // exchange is shared by the dlen window and the rank window (same
+    // partitioning, different sort), and Spark's WindowGroupLimit pushes
+    // the rk≤3 filter below the final sort. Ties break on the term.
     "q_tfidf_top" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("cnt"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("dlen"))
-      val dfr = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
       val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dl, Seq("doc_id")).join(broadcast(dfr), Seq("t"))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
+        .withColumn("dlen", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
         .crossJoin(broadcast(nd))
         .withColumn("s",
           (col("cnt").cast("double") / col("dlen")) *
