@@ -447,15 +447,23 @@ object Bench {
     // at 68 queries with 2dp — one more query would trip the shed guard;
     // 1dp buys ~70 B of headroom per round of query growth (full-precision
     // values stay on the phase-1 line)
-    val qs2 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
-      .mkString("{", ",", "}")
+    def qsOf(entries: Seq[(String, Double)], omitted: Int): String = {
+      val base = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      (if (omitted > 0) base :+ s""""_omitted":$omitted""" else base)
+        .mkString("{", ",", "}")
+    }
+    val qs2 = qsOf(results, 0)
     def compactLine(qs: String, extras: String): String =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir"$extras}"""
     // Graduated length guard: the whole fix depends on this line fitting
     // the 2000-char tail, and the query set grows every round. Shed the
     // least-critical payload first (the per-pair scaling blocks — their
-    // full forms are on the superset line and in BENCH.md), then the
-    // per-query map (full-precision copy on the phase-1 line); the
+    // full forms are on the superset line and in BENCH.md), then per-query
+    // entries SLOWEST-FIRST-KEPT (the r5 84-query map overflowed the
+    // budget whole, and all-or-nothing shedding blanked every per-query
+    // value in the artifact; the cheap sub-second rows are the ones a
+    // reader never needs from the tail — "_omitted" counts them, and the
+    // full-precision map is always on the phase-1 line); the
     // efficiency_* gate keys are never shed.
     val TailBudget = 1900
     var line = compactLine(qs2, scalingExtras)
@@ -464,8 +472,13 @@ object Bench {
       System.err.println(s"[bench] compact line ${line.length} chars > $TailBudget: dropping scaling blocks")
       line = compactLine(qs2, effOnly)
       if (line.length > TailBudget) {
-        System.err.println(s"[bench] compact line still ${line.length} chars: dropping per-query map")
-        line = compactLine("{}", effOnly)
+        val bySlowest = results.sortBy(-_._2)
+        var keep = bySlowest.size
+        while (keep > 0 &&
+          compactLine(qsOf(bySlowest.take(keep), bySlowest.size - keep), effOnly).length > TailBudget)
+          keep -= 1
+        System.err.println(s"[bench] compact line still over budget: keeping the $keep slowest of ${bySlowest.size} query entries")
+        line = compactLine(qsOf(bySlowest.take(keep), bySlowest.size - keep), effOnly)
       }
     }
     // belt-and-braces for the driver-parse contract (r3 VERDICT #3): the

@@ -650,6 +650,79 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— term / pattern redaction ———
+    // The PII-scrubbing shape: a word-boundary alternation built from a
+    // redaction dictionary plus a digit-pattern class, applied with
+    // global regexp_replace — pure codegen'd scalar work, no shuffle
+    // beyond the output sort, so it runs at scan speed on any corpus.
+    // The dictionary branch is live on this corpus; the digit pattern
+    // (phone-shaped) matches nothing in the synthetic text by design —
+    // the count column proves the plumbing without inventing data.
+    // Emits match counts and the 60-bit fingerprint of the redacted
+    // text (the compact equality witness both engines can hash).
+    "q_redact_terms" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val termPat = "\\b(customer|vector)\\b"
+      val piiPat = "\\d{3}[-.]\\d{4}"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(termPat), lit(0)))
+            .cast("long").as("n_terms"),
+          size(regexp_extract_all(col("text"), lit(piiPat), lit(0)))
+            .cast("long").as("n_pii"),
+          md5Long(regexp_replace(
+            regexp_replace(col("text"), termPat, "<TERM>"),
+            piiPat, "<NUM>")).as("red_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— end-to-end curation funnel ———
+    // The full training-data curation pipeline as ONE declarative plan:
+    // exact-dedup keeper → quality gate (token-length band + language)
+    // → equal-per-source token budgeting, reported as a per-source
+    // funnel (raw → dedup → quality → selected). Two corpus passes, the
+    // same shape as q_mix_budget: pass 1 reduces keeper rows by
+    // fingerprint (one aggregate, min_by picks the keeper's attributes —
+    // no window, no sort) down to per-source token sums; the thresholds
+    // (sources-sized) broadcast into pass 2, where one fingerprint
+    // window + one aggregate emit every funnel stage as conditional
+    // counts. Selection reuses the deterministic hash-mod rule, so the
+    // curated set is reproducible at any parallelism and composes with
+    // resumable shards. LEFT join on thresholds: a source whose docs all
+    // fail quality still reports its raw/dedup counts.
+    "q_curate" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok_cnt"),
+          md5Long(col("text")).as("fp"))
+      val qOk = col("tok_cnt").between(30, 90) && col("lang") =!= "zh"
+      val keepers = d.groupBy(col("fp"))
+        .agg(min_by(struct(col("source"), col("lang"), col("tok_cnt")),
+          col("doc_id")).as("kr"))
+        .select(col("kr.source").as("source"), col("kr.lang").as("lang"),
+          col("kr.tok_cnt").as("tok_cnt"))
+        .filter(qOk)
+      val bySrc = keepers.groupBy(col("source")).agg(sum(col("tok_cnt")).as("src_toks"))
+      val g = bySrc.agg(count(lit(1)).as("n_src"), sum(col("src_toks")).as("total"))
+      val thr = bySrc.crossJoin(g)
+        .select(col("source"),
+          least(expr("1000000 * ((total * 2) div 5) div (n_src * src_toks)"),
+            lit(1000000L)).as("thr"))
+      val sel = col("is_keeper") && qOk &&
+        md5Long(col("doc_id").cast("string")) % 1000000 < col("thr")
+      d.withColumn("is_keeper",
+          col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .join(broadcast(thr), Seq("source"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          count(when(col("is_keeper"), 1)).as("n_dedup"),
+          count(when(col("is_keeper") && qOk, 1)).as("n_quality"),
+          count(when(sel, 1)).as("n_selected"),
+          coalesce(sum(when(sel, col("tok_cnt"))), lit(0L)).as("toks_selected"))
+        .orderBy("source")
+    }),
+
     // ——— exact per-group quantiles (p50/p90/p99 inter-turn gap) ———
     // Spark's `percentile` is the exact sort-based form with R-7 linear
     // interpolation — the same definition as DuckDB's quantile_cont, so
@@ -1932,6 +2005,49 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.tok_cnt FROM d JOIN thr USING (source)
         |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < thr
         |ORDER BY doc_id""".stripMargin),
+
+    // Both regex dialects (Java / RE2) agree on \b, \d, {m} counts and
+    // alternation; DuckDB needs the explicit 'g' flag Spark applies by
+    // default. Group 0 = whole match in both regexp_extract_all forms.
+    "q_redact_terms" -> (
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|vector)\b', 0)) AS BIGINT) AS n_terms,
+        |  CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{4}', 0)) AS BIGINT) AS n_pii,
+        |  ('0x' || substr(md5(
+        |    regexp_replace(regexp_replace(text, '\b(customer|vector)\b', '<TERM>', 'g'),
+        |      '\d{3}[-.]\d{4}', '<NUM>', 'g')), 1, 15))::BIGINT AS red_fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin),
+
+    // Keeper classes group on raw text (the engine groups on its 60-bit
+    // fingerprint — same equivalence classes modulo md5 collision, the
+    // q_dedup_exact convention); keeper attributes come from the
+    // min-doc_id row on both sides.
+    "q_curate" -> (
+      """WITH d AS (SELECT doc_id, source, lang, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt FROM documents),
+        |k AS (SELECT text, min(doc_id) AS keeper FROM d GROUP BY 1),
+        |ke AS (SELECT d.source, d.tok_cnt FROM d JOIN k ON d.doc_id = k.keeper
+        |  WHERE d.tok_cnt BETWEEN 30 AND 90 AND d.lang <> 'zh'),
+        |s AS (SELECT source, CAST(sum(tok_cnt) AS BIGINT) AS src_toks FROM ke GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_src, CAST(sum(src_toks) AS BIGINT) AS total FROM s),
+        |thr AS (SELECT source,
+        |  least((1000000 * ((total * 2) // 5)) // (n_src * src_toks), 1000000) AS thr
+        |  FROM s CROSS JOIN g),
+        |dk AS (SELECT d.*,
+        |  (d.doc_id = min(d.doc_id) OVER (PARTITION BY d.text)) AS is_keeper,
+        |  (d.tok_cnt BETWEEN 30 AND 90 AND d.lang <> 'zh') AS q_ok,
+        |  (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 AS hm
+        |  FROM d)
+        |SELECT dk.source,
+        |  CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(CASE WHEN is_keeper THEN 1 END) AS BIGINT) AS n_dedup,
+        |  CAST(count(CASE WHEN is_keeper AND q_ok THEN 1 END) AS BIGINT) AS n_quality,
+        |  CAST(count(CASE WHEN is_keeper AND q_ok AND hm < thr THEN 1 END) AS BIGINT) AS n_selected,
+        |  CAST(coalesce(sum(CASE WHEN is_keeper AND q_ok AND hm < thr THEN tok_cnt END), 0) AS BIGINT) AS toks_selected
+        |FROM dk LEFT JOIN thr USING (source)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
 
     "q_gap_quantiles" -> Oracle.withTurns(
       """, gaps AS (

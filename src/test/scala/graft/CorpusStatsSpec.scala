@@ -52,6 +52,37 @@ class CorpusStatsSpec extends SparkSpec {
       s"lost ${(a.tail.toSet -- b.toSet).size} suffix chunks to a 3-token prepend")
   }
 
+  test("curation funnel stages are monotone and budget-bounded per source") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_curate")(spark, dir)
+      .select("source", "n_raw", "n_dedup", "n_quality", "n_selected", "toks_selected")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, dd, q, sel) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= dd && dd >= q && q >= sel,
+        s"funnel not monotone for ${r.getString(0)}: $raw/$dd/$q/$sel")
+      assert(sel > 0 || q == 0, s"selection emptied a non-empty pool for ${r.getString(0)}")
+    }
+    // at least one stage must actually filter somewhere, or the fixture is vacuous
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)), "quality gate filtered nothing")
+    assert(rows.exists(r => r.getLong(4) < r.getLong(3)), "budget selection kept everything")
+  }
+
+  test("redaction counts match the fingerprint change exactly") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.functions.TextFns.md5Long
+    val joined = SparkEntry.queries("q_redact_terms")(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), md5Long(col("text")).as("orig_fp")), Seq("doc_id"))
+    // a doc's fingerprint changes iff something was redacted in it
+    val bad = joined.filter(
+      (col("n_terms") + col("n_pii") > 0) === (col("red_fp") === col("orig_fp")))
+    assert(bad.count() == 0, "redaction count and fingerprint change disagree")
+    val hit = joined.filter(col("n_terms") > 0).count()
+    assert(hit > 0, "term dictionary never fired — vacuous fixture")
+  }
+
   test("mixture-budget selection is deterministic and a subset per source") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_mix_budget")
