@@ -761,10 +761,11 @@ object SparkEntry {
     "q_incremental" -> ((s, dir) => {
       import graft.features.Incremental
       val t = Tables.turns(s, dir)
+      val fams = Set.empty[String] // moments-only store: no sketch passes
       Incremental.finalize(
         Incremental.merge(
-          Incremental.partials(t.filter(col("turn_idx") < 20)),
-          Incremental.partials(t.filter(col("turn_idx") >= 20))))
+          Incremental.partials(t.filter(col("turn_idx") < 20), families = fams),
+          Incremental.partials(t.filter(col("turn_idx") >= 20), families = fams)))
         .orderBy("conv_id")
     }),
 
@@ -779,9 +780,10 @@ object SparkEntry {
     "q_incremental_hist" -> ((s, dir) => {
       import graft.features.Incremental
       val t = Tables.turns(s, dir)
+      val fams = Set(Incremental.FamHist)
       Incremental.merge(
-        Incremental.partials(t.filter(col("turn_idx") < 20)),
-        Incremental.partials(t.filter(col("turn_idx") >= 20)))
+        Incremental.partials(t.filter(col("turn_idx") < 20), families = fams),
+        Incremental.partials(t.filter(col("turn_idx") >= 20), families = fams))
         .select(col("conv_id"), explode(col("tool_hist")).as(Seq("tool", "n")))
         .orderBy("conv_id", "tool")
     }),
@@ -797,9 +799,10 @@ object SparkEntry {
       import graft.features.Incremental
       import graft.functions.Kmv
       val t = Tables.turns(s, dir)
+      val fams = Set(Incremental.FamKmv)
       Incremental.merge(
-        Incremental.partials(t.filter(col("turn_idx") < 20)),
-        Incremental.partials(t.filter(col("turn_idx") >= 20)))
+        Incremental.partials(t.filter(col("turn_idx") < 20), families = fams),
+        Incremental.partials(t.filter(col("turn_idx") >= 20), families = fams))
         .filter(col("tok_kmv").isNotNull)
         .select(col("conv_id"),
           size(col("tok_kmv")).as("kmv_size"),
@@ -823,9 +826,10 @@ object SparkEntry {
       import graft.features.Incremental
       import org.apache.spark.sql.expressions.Window
       val t = Tables.turns(s, dir)
+      val fams = Set(Incremental.FamGapHist)
       val ex = Incremental.merge(
-        Incremental.partials(t.filter(col("turn_idx") < 20)),
-        Incremental.partials(t.filter(col("turn_idx") >= 20)))
+        Incremental.partials(t.filter(col("turn_idx") < 20), families = fams),
+        Incremental.partials(t.filter(col("turn_idx") >= 20), families = fams))
         .select(col("conv_id"), explode(col("gap_hist")).as(Seq("bin", "cnt")))
       val wc = Window.partitionBy(col("conv_id")).orderBy(col("bin"))
       val wa = Window.partitionBy(col("conv_id"))

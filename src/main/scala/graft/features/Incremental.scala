@@ -66,6 +66,19 @@ object Incremental {
       .otherwise(map_from_entries(array_sort(map_entries(
         map_zip_with(a, b, (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L)))))))
 
+  /** The optional sketch families [[partials]] can carry beyond the base
+    * scalar block (counts / power sums / min-max / session stitch, always
+    * computed — they share the one base aggregate): each family costs its
+    * own aggregate pass + join, so a store that only maintains moments
+    * should not pay for sketches it never keeps (measured at sf0.1: the
+    * moments-only path is ~2× faster without the three sketch passes; at
+    * 10¹² turns that is the difference between one corpus pass and four).
+    */
+  val FamHist = "hist"
+  val FamKmv = "kmv"
+  val FamGapHist = "gap_hist"
+  val AllFamilies: Set[String] = Set(FamHist, FamKmv, FamGapHist)
+
   /** Per-conversation sufficient statistics of one slice of turns.
     * Includes the open-set tool histogram (`tool_hist`, map<tool, count>) —
     * a map-sum is itself a mergeable summary, so the A3/A20 histogram
@@ -74,9 +87,16 @@ object Incremental {
     * instead of forcing a full recompute. Entries are sorted by key
     * (array_sort on the struct) so the map bytes are deterministic at any
     * parallelism — which also makes the store's slice fingerprint stable.
+    *
+    * `families` selects the sketch columns (default: all — the durable
+    * store wants everything); pass a subset to skip whole aggregate passes
+    * for summaries the caller will not keep.
     */
   def partials(turns: DataFrame,
-               gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
+               gapSeconds: Long = graft.SparkEntry.SessionGapSeconds,
+               families: Set[String] = AllFamilies): DataFrame = {
+    require(families.subsetOf(AllFamilies),
+      s"unknown partials families: ${families -- AllFamilies}")
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val len = length(col("text")).cast("long")
     val us = LagLead.micros(col("ts"))
@@ -86,7 +106,7 @@ object Incremental {
     // two-level histogram aggregate: (conv_id, tool) counts → map. The
     // second groupBy and the join key are a prefix of the first's key, so
     // all of it extends the conv_id partitioning — no extra exchange.
-    val hist = turns.filter(col("tool").isNotNull)
+    lazy val hist = turns.filter(col("tool").isNotNull)
       .groupBy(col("conv_id"), col("tool")).agg(count(lit(1)).as("__n"))
       .groupBy(col("conv_id"))
       .agg(map_from_entries(
@@ -94,7 +114,7 @@ object Incremental {
     // mergeable distinct-token sketch (tok_kmv): KMV, not HLL — slice
     // sketches must merge to EXACTLY the direct sketch for the store's
     // merge-equals-direct contract to stay checkable (see functions.Kmv)
-    val kmv = graft.functions.Kmv.tokenSketch(turns, "conv_id", "text", KmvK)
+    lazy val kmv = graft.functions.Kmv.tokenSketch(turns, "conv_id", "text", KmvK)
     // binned inter-turn gap histogram (gap_hist, map<hour-bin, count>): a
     // fixed-bin histogram is the DETERMINISTIC mergeable quantile summary —
     // unlike KLL/t-digest sketches its merge is a plain key-union count-sum
@@ -105,7 +125,7 @@ object Incremental {
     // [[merge]] adds it from (last_us, first_us), the same stitch trick as
     // `sessions`, preserving Σcounts == n-1 per conversation.
     val gapUs = us - LagLead.micros(lag(col("ts"), 1).over(w))
-    val gaps = turns
+    lazy val gaps = turns
       .select(col("conv_id"), gapUs.as("__gap_us"))
       .filter(col("__gap_us").isNotNull)
       .select(col("conv_id"),
@@ -115,7 +135,7 @@ object Incremental {
       .groupBy(col("conv_id"))
       .agg(map_from_entries(
         array_sort(collect_list(struct(col("__bin"), col("__n"))))).as("gap_hist"))
-    turns
+    val base = turns
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         len.as("__len"), us.as("__us"), gapBreak.as("__brk"))
       .groupBy(col("conv_id"))
@@ -134,9 +154,9 @@ object Incremental {
         min(col("__us")).as("first_us"),
         max(col("__us")).as("last_us"),
         (sum(col("__brk")) + lit(1L)).as("sessions"))
-      .join(hist, Seq("conv_id"), "left")
-      .join(kmv, Seq("conv_id"), "left")
-      .join(gaps, Seq("conv_id"), "left")
+    val withHist = if (families(FamHist)) base.join(hist, Seq("conv_id"), "left") else base
+    val withKmv = if (families(FamKmv)) withHist.join(kmv, Seq("conv_id"), "left") else withHist
+    if (families(FamGapHist)) withKmv.join(gaps, Seq("conv_id"), "left") else withKmv
   }
 
   /** Merge two partials frames (b's turns at-or-after a's, per contract).
@@ -147,6 +167,18 @@ object Incremental {
     */
   def merge(a: DataFrame, b: DataFrame,
             gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
+    // family set rides the schema: merge whatever sketch columns the
+    // partials carry, and refuse mismatched sides (a store can't merge a
+    // moments-only slice into generations that carry sketches — the
+    // missing summaries are unrecoverable without the slice's turns)
+    val famCols = Seq(FamHist -> "tool_hist", FamKmv -> "tok_kmv", FamGapHist -> "gap_hist")
+    famCols.foreach { case (fam, c) =>
+      require(a.columns.contains(c) == b.columns.contains(c),
+        s"partials family mismatch on '$fam': one side lacks column $c")
+    }
+    val hasHist = a.columns.contains("tool_hist")
+    val hasKmv = a.columns.contains("tok_kmv")
+    val hasGap = a.columns.contains("gap_hist")
     val bothSum = Seq("n", "n_user", "n_assistant", "n_tool_role",
       "n_tool_calls", "s1", "s2", "s3", "s4")
     def l(c: String) = col("l." + c)
@@ -165,7 +197,7 @@ object Incremental {
       l("sessions") + r("sessions")
     ).otherwise(l("sessions") + r("sessions") - 1L)
     // map-sum of the tool histograms: union of keys, per-key count sum
-    val histMerged = mapSum(l("tool_hist"), r("tool_hist"))
+    lazy val histMerged = mapSum(l("tool_hist"), r("tool_hist"))
     // gap histogram: the boundary gap (a's last turn → b's first turn)
     // belongs to neither slice's histogram — bin it from the boundary
     // timestamps and add one count, exactly the `sessions` stitch trick.
@@ -178,22 +210,24 @@ object Incremental {
     // boundary only binnable when both sides carry timestamps; a one-sided
     // conversation (or a null-ts slice) falls back to the plain map-sum,
     // which passes a single present side through unchanged
-    val gapMerged = when(l("first_us").isNotNull && r("first_us").isNotNull,
+    lazy val gapMerged = when(l("first_us").isNotNull && r("first_us").isNotNull,
         mapSum(mapSum(l("gap_hist"), r("gap_hist")), boundaryMap))
       .otherwise(mapSum(l("gap_hist"), r("gap_hist")))
+    val sketchCols =
+      (if (hasHist) Seq(histMerged.as("tool_hist")) else Nil) ++
+      (if (hasKmv) Seq(graft.functions.Kmv.mergeSketches(
+        l("tok_kmv"), r("tok_kmv"), KmvK).as("tok_kmv")) else Nil) ++
+      (if (hasGap) Seq(gapMerged.as("gap_hist")) else Nil)
     a.alias("l").join(b.alias("r"), l("conv_id") === r("conv_id"), "full_outer")
       .select(
         coalesce(l("conv_id"), r("conv_id")).as("conv_id") +:
-        bothSum.map(addNullAware) :+
+        ((bothSum.map(addNullAware) :+
         least(l("len_min"), r("len_min")).as("len_min") :+
         greatest(l("len_max"), r("len_max")).as("len_max") :+
         least(l("first_us"), r("first_us")).as("first_us") :+
         greatest(l("last_us"), r("last_us")).as("last_us") :+
-        coalesce(stitched, l("sessions"), r("sessions")).as("sessions") :+
-        histMerged.as("tool_hist") :+
-        graft.functions.Kmv.mergeSketches(
-          l("tok_kmv"), r("tok_kmv"), KmvK).as("tok_kmv") :+
-        gapMerged.as("gap_hist"): _*)
+        coalesce(stitched, l("sessions"), r("sessions")).as("sessions")) ++
+        sketchCols): _*)
   }
 
   /** Feature columns from merged partials — pure per-row column math, no
@@ -290,11 +324,14 @@ object IncrementalStore {
     * becomes a no-op instead of double-merging the slice.
     */
   def upsert(spark: SparkSession, dir: String, slice: DataFrame,
-             gapSeconds: Long = graft.SparkEntry.SessionGapSeconds): DataFrame = {
+             gapSeconds: Long = graft.SparkEntry.SessionGapSeconds,
+             families: Set[String] = Incremental.AllFamilies): DataFrame = {
     Files.createDirectories(Paths.get(dir))
     // checkpoint: the partials feed the fingerprint action AND the merge
-    // write — one computation, |touched convs|-sized
-    val sliceP = Incremental.partials(slice, gapSeconds).localCheckpoint()
+    // write — one computation, |touched convs|-sized. A family set
+    // narrower than the stored generations' fails loudly in merge (the
+    // skipped summaries would be unrecoverable without the slice's turns).
+    val sliceP = Incremental.partials(slice, gapSeconds, families).localCheckpoint()
     val sid = sliceId(sliceP)
     val cur = currentGen(dir)
     cur match {

@@ -46,6 +46,32 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("family subsets: moments-only partials merge identically and skip sketch columns") {
+    val t = fixture
+    val none = Set.empty[String]
+    val direct = collectSorted(Incremental.finalize(Incremental.partials(t, families = none)))
+    val full = collectSorted(Incremental.finalize(Incremental.partials(t)))
+    assert(direct == full, "finalize must not depend on the sketch families")
+    val p = Incremental.partials(t, families = none)
+    assert(!p.columns.contains("tool_hist") && !p.columns.contains("tok_kmv") &&
+      !p.columns.contains("gap_hist"))
+    val merged = Incremental.merge(
+      Incremental.partials(t.filter(col("turn_idx") < 3), families = none),
+      Incremental.partials(t.filter(col("turn_idx") >= 3), families = none))
+    assert(collectSorted(Incremental.finalize(merged)) == direct)
+    // mismatched family sets must fail loudly, not silently drop a summary
+    val e = intercept[IllegalArgumentException] {
+      Incremental.merge(
+        Incremental.partials(t, families = none),
+        Incremental.partials(t))
+    }
+    assert(e.getMessage.contains("family mismatch"))
+    // unknown family names are rejected up front
+    intercept[IllegalArgumentException] {
+      Incremental.partials(t, families = Set("nope"))
+    }
+  }
+
   test("histogram partials merge to the direct single-pass histogram at every split") {
     val t = fixture
     def histPairs(p: DataFrame): Seq[(String, String, Long)] =
