@@ -600,6 +600,60 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // ——— duplicated n-gram span detection ———
+    // The span-level dedup granularity between exact-doc fingerprints,
+    // CDC chunks, and MinHash near-dup: mark every 5-token shingle that
+    // also appears in ANOTHER document, then merge the marked positions
+    // into maximal duplicated spans per document — the substring-dedup
+    // signal of Lee et al. 2022 ("Deduplicating Training Data Makes LMs
+    // Better"), whose suffix-array step this replaces with the shuffle-
+    // friendly shingle-hash form. Shingles are built row-locally from the
+    // token array (one projection, no fan-out join); "appears elsewhere"
+    // is min(doc)≠max(doc) over a count-window on the 60-bit shingle hash
+    // (two window aggs sharing ONE exchange on sig — exact, and cheaper
+    // than a distinct-count); span merge is the sessionize island trick on
+    // positions (new span when pos > prev + K, i.e. coverage gap). Plan:
+    // one corpus scan + tiny doc-id scan, one exchange on sig, one on
+    // doc_id (shared by the island window and the final aggregate).
+    // At 100 TB every frame after the shingle explode is token-stream-
+    // sized and hash-partitioned; nothing is broadcast or collected.
+    "q_dup_spans" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val K = 5
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val sh = docs.filter(size(col("a")) >= K)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("a")) - K),
+          i => struct(i.as("pos"),
+            TextFns.md5Long(concat_ws(" ", slice(col("a"), i + 1, lit(K))))
+              .as("sig")))).as("sh"))
+        .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.sig").as("sig"))
+      val wSig = Window.partitionBy(col("sig"))
+      val dupPos = sh
+        .withColumn("dup", min(col("doc_id")).over(wSig) =!= max(col("doc_id")).over(wSig))
+        .filter(col("dup"))
+        .select(col("doc_id"), col("pos"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = dupPos
+        .withColumn("brk",
+          when(col("pos") > lag(col("pos"), 1).over(wDoc) + K, 1L)
+            .when(lag(col("pos"), 1).over(wDoc).isNull, 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(wDoc))
+        .groupBy(col("doc_id"), col("island"))
+        .agg((max(col("pos")) - min(col("pos")) + K).as("span_len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+      docs.select(col("doc_id"), size(col("a")).cast("long").as("tok_cnt"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("tok_cnt"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("tok_cnt"), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // ——— unigram-LM perplexity quality score ———
     // The CCNet-style quality signal: train a unigram language model on
     // the corpus itself (token count ÷ corpus total), score each document
@@ -1972,6 +2026,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
         |  CAST(count(CASE WHEN n_occ > 1 THEN 1 END) AS BIGINT) AS dup_chunks
         |FROM sg JOIN sc USING (sig) GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
+    // Shingle at 0-based pos i covers tokens a[i+1 : i+5] in DuckDB's
+    // 1-based inclusive slice; islands/span-merge mirrors the Spark window.
+    "q_dup_spans" -> (
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, len(a) - 4), i -> {'pos': i,
+        |    'sig': ('0x' || substr(md5(array_to_string(a[i+1 : i+5], ' ')), 1, 15))::BIGINT})) AS s
+        |  FROM d WHERE len(a) >= 5),
+        |sp AS (SELECT doc_id, s.pos AS pos, s.sig AS sig FROM sh),
+        |dp AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+        |    min(doc_id) OVER (PARTITION BY sig) <> max(doc_id) OVER (PARTITION BY sig) AS dup
+        |  FROM sp) WHERE dup),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp)),
+        |sl AS (SELECT doc_id, island, max(pos) - min(pos) + 5 AS span_len
+        |  FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(span_len) AS BIGINT) AS dup_tokens FROM sl GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(a) AS BIGINT) AS tok_cnt,
+        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(a), 6) AS dup_frac
+        |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY 1""".stripMargin),
 
     "q_tfidf_top" -> (

@@ -83,6 +83,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(hit > 0, "term dictionary never fired — vacuous fixture")
   }
 
+  test("dup-span merge: overlap fuses, adjacency fuses, gaps split, short docs pass through") {
+    // hand-built corpus pinning the island semantics the oracle shares:
+    // S (7 tokens) is shared by A/B/C/D/E, T (5 tokens) by D/F; filler
+    // tokens are globally unique so no accidental 5-gram repeats.
+    val S = (1 to 7).map(i => s"s$i")
+    val T = (1 to 5).map(i => s"t$i")
+    def u(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val docs = Seq(
+      1L -> (u("ua", 5) ++ S ++ u("va", 5)),        // one 3-shingle overlap run → 1 span of 7
+      2L -> (u("wb", 5) ++ S ++ u("zb", 5)),
+      3L -> (S ++ u("gc", 6) ++ S),                 // gap 13 > K → 2 spans of 7
+      4L -> (S.take(5) ++ T),                       // S-span touches T-span → fused, frac 1.0
+      5L -> (S.take(5) ++ u("ee", 5)),              // sharer of S's 5-prefix
+      6L -> (u("ff", 5) ++ T),                      // sharer of T
+      7L -> Seq("a", "b", "c")                      // shorter than K: zero spans, not dropped
+    )
+    val dir = java.nio.file.Files.createTempDirectory("dupspans").toString
+    docs.map { case (id, ts) => (id, ts.mkString(" "), "en", "src", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dup_spans")(spark, dir)
+      .select("doc_id", "tok_cnt", "n_spans", "dup_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 17L, 1L, 7L), (2L, 17L, 1L, 7L), (3L, 20L, 2L, 14L),
+      (4L, 10L, 1L, 10L), (5L, 10L, 1L, 5L), (6L, 10L, 1L, 5L),
+      (7L, 3L, 0L, 0L)))
+  }
+
   test("mixture-budget selection is deterministic and a subset per source") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_mix_budget")

@@ -48,6 +48,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(w) <= 4, s"windowed-full exchange count regressed: ${exchanges(w)}")
   }
 
+  test("dup-spans: one corpus tokenize pass, no self-join, bounded exchanges") {
+    val p = plan("q_dup_spans")
+    // shingles are built row-locally and marked via two window aggs over
+    // ONE sig exchange; the span merge + both aggregates share the doc_id
+    // exchange; tok_cnt joins back broadcast-or-bucketed, never cartesian
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "Generate explode") == 1, s"corpus must be shingled exactly once:\n$p")
+    assert(exchanges(p) <= 5, s"dup-spans exchange count regressed: ${exchanges(p)}")
+  }
+
   test("ordered scans aggregate nothing and shuffle once (plus the final sort)") {
     val p = plan("q_sessionize")
     assert(aggs(p) == 0)
