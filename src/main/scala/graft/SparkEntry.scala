@@ -618,40 +618,80 @@ object SparkEntry {
     // At 100 TB every frame after the shingle explode is token-stream-
     // sized and hash-partitioned; nothing is broadcast or collected.
     "q_dup_spans" -> ((s, dir) => {
-      import graft.functions.TextFns
-      val K = 5
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("a"))
-      val sh = docs.filter(size(col("a")) >= K)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(0), size(col("a")) - K),
-          i => struct(i.as("pos"),
-            TextFns.md5Long(concat_ws(" ", slice(col("a"), i + 1, lit(K))))
-              .as("sig")))).as("sh"))
-        .select(col("doc_id"), col("sh.pos").as("pos"), col("sh.sig").as("sig"))
-      val wSig = Window.partitionBy(col("sig"))
-      val dupPos = sh
-        .withColumn("dup", min(col("doc_id")).over(wSig) =!= max(col("doc_id")).over(wSig))
-        .filter(col("dup"))
-        .select(col("doc_id"), col("pos"))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val spans = dupPos
-        .withColumn("brk",
-          when(col("pos") > lag(col("pos"), 1).over(wDoc) + K, 1L)
-            .when(lag(col("pos"), 1).over(wDoc).isNull, 1L).otherwise(0L))
-        .withColumn("island", sum(col("brk")).over(wDoc))
-        .groupBy(col("doc_id"), col("island"))
-        .agg((max(col("pos")) - min(col("pos")) + K).as("span_len"))
+      val agg = DupSpans.spans(docs, k = 5)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1L).as("dup_tokens"))
       docs.select(col("doc_id"), size(col("a")).cast("long").as("tok_cnt"))
-        .join(spans, Seq("doc_id"), "left")
+        .join(agg, Seq("doc_id"), "left")
         .select(col("doc_id"), col("tok_cnt"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("tok_cnt"), 6)
             .as("dup_frac"))
         .orderBy("doc_id")
+    }),
+
+    // ——— duplicated-span CUT pass ———
+    // The removal stage the detection feeds: drop every token covered by a
+    // cross-document duplicated span and reconstruct the surviving text.
+    // Semantics: ALL occurrences are cut (the conservative variant of Lee
+    // et al.'s ExactSubstr removal — a keeper-occurrence rule needs span
+    // identity across documents, which merged coverage unions don't have).
+    // The cut itself is ROW-LOCAL: per-doc spans collect into a tiny array
+    // (docs carry ~2 spans on average, bounded by tok_cnt/K), join back on
+    // doc_id, and a filter-with-index lambda keeps uncovered tokens — no
+    // token-level shuffle beyond the detection's own two exchanges.
+    "q_dup_spans_cut" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val spanArr = DupSpans.spans(docs, k = 5)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+      docs.join(spanArr, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("a")).cast("long").as("tok_cnt"),
+          filter(col("a"), (t, i) => !DupSpans.covered(i.cast("long"), col("spans")))
+            .as("kept"))
+        .select(col("doc_id"), col("tok_cnt"),
+          size(col("kept")).cast("long").as("kept_tokens"),
+          TextFns.md5Long(concat_ws(" ", col("kept"))).as("kept_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— feature-drift detection (PSI between corpus snapshots) ———
+    // The pipeline-QA operator a recurring training-data build needs:
+    // population stability index of a feature's distribution between two
+    // corpus snapshots (here the established early/late turn_idx split),
+    // per role. Laplace-smoothed shares over the OBSERVED bin union (a bin
+    // absent from both snapshots contributes nothing — documented, exact,
+    // and deterministic), PSI = Σ (pa−pb)·ln(pa/pb). Plan: one scan with
+    // conditional partial-aggregating counts per (role, bin), totals as
+    // windows over the tiny grouped frame, final per-role aggregate — the
+    // same two-exchange shape at any corpus size; alerting thresholds
+    // (0.1 / 0.25) are the consumer's business, not the operator's.
+    "q_feature_drift" -> ((s, dir) => {
+      val b = Tables.turns(s, dir).filter(col("text").isNotNull)
+        .select(col("role"),
+          when(col("turn_idx") < 20, 1L).otherwise(0L).as("isa"),
+          least(length(col("text")), lit(63)).cast("long").as("bin"))
+      val g = b.groupBy(col("role"), col("bin"))
+        .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+      val wr = Window.partitionBy(col("role"))
+      val p = g
+        .withColumn("tota", sum(col("ca")).over(wr))
+        .withColumn("totb", sum(col("cb")).over(wr))
+        .withColumn("pa",
+          (col("ca") + 1).cast("double") / (col("tota") + 64).cast("double"))
+        .withColumn("pb",
+          (col("cb") + 1).cast("double") / (col("totb") + 64).cast("double"))
+      p.groupBy(col("role"))
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6)
+            .as("psi"))
+        .orderBy("role")
     }),
 
     // ——— unigram-LM perplexity quality score ———
@@ -2055,6 +2095,61 @@ object SparkEntry {
         |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(a), 6) AS dup_frac
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY 1""".stripMargin),
+
+    // Cut pass twin: spans via the same shingle/island CTEs, token stream
+    // rebuilt positionally, covered tokens dropped by NOT EXISTS range
+    // probe, survivors re-joined in position order and fingerprinted.
+    "q_dup_spans_cut" -> (
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |sh AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, len(a) - 4), i -> {'pos': i,
+        |    'sig': ('0x' || substr(md5(array_to_string(a[i+1 : i+5], ' ')), 1, 15))::BIGINT})) AS s
+        |  FROM d WHERE len(a) >= 5),
+        |sp AS (SELECT doc_id, s.pos AS pos, s.sig AS sig FROM sh),
+        |dp AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+        |    min(doc_id) OVER (PARTITION BY sig) <> max(doc_id) OVER (PARTITION BY sig) AS dup
+        |  FROM sp) WHERE dup),
+        |isl AS (SELECT doc_id, pos,
+        |  sum(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp)),
+        |spn AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+        |  FROM isl GROUP BY 1, 2),
+        |tq AS (SELECT doc_id, u.p AS p, u.t AS t FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(a) + 1), i -> {'p': i - 1, 't': a[i]})) AS u
+        |  FROM d)),
+        |kept AS (SELECT doc_id, p, t FROM tq WHERE NOT EXISTS
+        |  (SELECT 1 FROM spn WHERE spn.doc_id = tq.doc_id
+        |     AND tq.p >= spn.s AND tq.p <= spn.e)),
+        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |  string_agg(t, ' ' ORDER BY p) AS kt FROM kept GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(a) AS BIGINT) AS tok_cnt,
+        |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  ('0x' || substr(md5(coalesce(kt, '')), 1, 15))::BIGINT AS kept_fp
+        |FROM d LEFT JOIN ka USING (doc_id)
+        |ORDER BY 1""".stripMargin),
+
+    // Unit-width length bins capped at 63 (fixture texts are short); identical
+    // cast-then-divide op order keeps pa/pb bit-equal across engines.
+    "q_feature_drift" -> Oracle.withTurns(
+      """SELECT role, CAST(count(*) AS BIGINT) AS n_bins,
+        |  round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+        |FROM (SELECT role,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(tota + 64 AS DOUBLE) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(totb + 64 AS DOUBLE) AS pb
+        |  FROM (SELECT role, bin, ca, cb,
+        |      sum(ca) OVER (PARTITION BY role) AS tota,
+        |      sum(cb) OVER (PARTITION BY role) AS totb
+        |    FROM (SELECT role, bin,
+        |        CAST(sum(isa) AS BIGINT) AS ca,
+        |        CAST(sum(1 - isa) AS BIGINT) AS cb
+        |      FROM (SELECT role,
+        |          CASE WHEN turn_idx < 20 THEN 1 ELSE 0 END AS isa,
+        |          least(length(text), 63) AS bin
+        |        FROM turns WHERE text IS NOT NULL)
+        |      GROUP BY 1, 2)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_tfidf_top" -> (
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

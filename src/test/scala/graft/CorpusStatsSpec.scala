@@ -110,6 +110,24 @@ class CorpusStatsSpec extends SparkSpec {
       (1L, 17L, 1L, 7L), (2L, 17L, 1L, 7L), (3L, 20L, 2L, 14L),
       (4L, 10L, 1L, 10L), (5L, 10L, 1L, 5L), (6L, 10L, 1L, 5L),
       (7L, 3L, 0L, 0L)))
+    // the cut pass drops exactly the spans: doc 4 is fully covered (empty
+    // survivor), doc 7 survives verbatim, doc 1 keeps its 10 filler tokens
+    import graft.functions.TextFns.md5Long
+    val cutDf = SparkEntry.queries("q_dup_spans_cut")(spark, dir)
+      .select("doc_id", "kept_tokens", "kept_fp")
+      .as[(Long, Long, Long)].collect()
+    val cut = cutDf.map(r => r._1 -> r._3).toMap
+    val cutRows = cutDf.map(r => r._1 -> r._2).toMap
+    assert(cutRows == Map(1L -> 10L, 2L -> 10L, 3L -> 6L, 4L -> 0L,
+      5L -> 5L, 6L -> 5L, 7L -> 3L))
+    val fps = Seq(
+      "" -> 4L,                                          // fully cut
+      (u("ua", 5) ++ u("va", 5)).mkString(" ") -> 1L,    // span excised cleanly
+      "a b c" -> 7L)                                     // untouched short doc
+      .map { case (txt, id) => id ->
+        Seq(txt).toDF("t").select(md5Long(col("t"))).as[Long].head() }
+    fps.foreach { case (id, fp) =>
+      assert(cut(id) == fp, s"kept_fp mismatch for doc $id") }
   }
 
   test("mixture-budget selection is deterministic and a subset per source") {
