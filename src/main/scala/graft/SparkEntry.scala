@@ -273,6 +273,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— tokenizer-aware token counting ———
+    // Whitespace words vs a GPT-2-style pretokenizer regex (contraction
+    // suffixes, space-prefixed letter/digit runs, punctuation runs) — the
+    // budget/billing token estimate a training pipeline sizes corpora
+    // with, summed per conversation (turn texts carry the digit/
+    // punctuation structure the regex exists for; the documents table is
+    // a pure word stream where the two counts coincide). The pattern
+    // avoids lookaheads so the SAME regex runs under Java (Spark
+    // codegen'd regexp_extract_all) and RE2 (DuckDB). Token math is
+    // row-local; the plan is one scan + one partial-aggregating exchange
+    // on conv_id at any corpus size.
+    "q_token_count" -> ((s, dir) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+      Tables.turns(s, dir).filter(col("text").isNotNull)
+        .select(col("conv_id"),
+          size(split(col("text"), " ")).cast("long").as("ws"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("ch"))
+        .groupBy(col("conv_id"))
+        .agg(sum(col("ws")).as("n_ws"), sum(col("bpe")).as("n_bpe"),
+          round(sum(col("ch")).cast("double") / sum(col("bpe")), 6)
+            .as("chars_per_tok"))
+        .orderBy("conv_id")
+    }),
+
     // ——— language-ID heuristic ———
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1860,6 +1885,17 @@ object SparkEntry {
         |          t -> t IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
         |          / len(string_split(text, ' '))), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_token_count" -> Oracle.withTurns(
+      """SELECT conv_id,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))) AS BIGINT) AS n_bpe,
+        |  round(CAST(sum(length(text)) AS DOUBLE) / sum(len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))), 6)
+        |    AS chars_per_tok
+        |FROM turns WHERE text IS NOT NULL
+        |GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_lang_id" -> (
       """SELECT doc_id, lang,
