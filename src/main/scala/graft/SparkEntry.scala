@@ -292,8 +292,12 @@ object SparkEntry {
           size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("bpe"),
           length(col("text")).cast("long").as("ch"))
         .groupBy(col("conv_id"))
+        // nullif-style zero guard: a whitespace-only conversation has
+        // n_bpe = 0, which must yield NULL in both engines (ANSI Divide
+        // would otherwise throw here while DuckDB returns inf)
         .agg(sum(col("ws")).as("n_ws"), sum(col("bpe")).as("n_bpe"),
-          round(sum(col("ch")).cast("double") / sum(col("bpe")), 6)
+          round(sum(col("ch")).cast("double") /
+            when(sum(col("bpe")) =!= 0L, sum(col("bpe"))), 6)
             .as("chars_per_tok"))
         .orderBy("conv_id")
     }),
@@ -1569,6 +1573,30 @@ object SparkEntry {
     * (candidate pairs + exact-Jaccard verify), shared by the q_neardup_lsh
     * and q_dedup_clusters oracles so the pair definition cannot desync.
     */
+  /** Oracle twin of [[graft.ops.DupSpans.spans]] (k = 5): the CTE chain up
+    * to `spn` (per-doc maximal duplicated spans, 0-based inclusive s/e),
+    * shared by the q_dup_spans and q_dup_spans_cut oracles so the shingle
+    * width, dup rule, and island break cannot desync. Shingle at 0-based
+    * pos i covers tokens a[i+1 : i+5] in DuckDB's 1-based inclusive slice.
+    */
+  private val dupSpanCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_transform(range(0, len(a) - 4), i -> {'pos': i,
+      |    'sig': ('0x' || substr(md5(array_to_string(a[i+1 : i+5], ' ')), 1, 15))::BIGINT})) AS s
+      |  FROM d WHERE len(a) >= 5),
+      |sp AS (SELECT doc_id, s.pos AS pos, s.sig AS sig FROM sh),
+      |dp AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+      |    min(doc_id) OVER (PARTITION BY sig) <> max(doc_id) OVER (PARTITION BY sig) AS dup
+      |  FROM sp) WHERE dup),
+      |isl AS (SELECT doc_id, pos,
+      |  sum(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp)),
+      |spn AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+      |  FROM isl GROUP BY 1, 2)""".stripMargin
+
   private val neardupPairsCtes: String =
     """toks AS (
       |  SELECT DISTINCT doc_id, tok FROM (
@@ -1886,15 +1914,20 @@ object SparkEntry {
         |          / len(string_split(text, ' '))), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // regex evaluated ONCE per row in the inner projection; nullif guards
+    // the whitespace-only-conversation case to NULL (Spark side mirrors
+    // with a `when` guard — ANSI Divide would throw there, inf here)
     "q_token_count" -> Oracle.withTurns(
       """SELECT conv_id,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws,
-        |  CAST(sum(len(regexp_extract_all(text,
-        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))) AS BIGINT) AS n_bpe,
-        |  round(CAST(sum(length(text)) AS DOUBLE) / sum(len(regexp_extract_all(text,
-        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))), 6)
-        |    AS chars_per_tok
-        |FROM turns WHERE text IS NOT NULL
+        |  CAST(sum(ws) AS BIGINT) AS n_ws,
+        |  CAST(sum(bpe) AS BIGINT) AS n_bpe,
+        |  round(CAST(sum(ch) AS DOUBLE) / nullif(sum(bpe), 0), 6) AS chars_per_tok
+        |FROM (SELECT conv_id,
+        |    len(string_split(text, ' ')) AS ws,
+        |    len(regexp_extract_all(text,
+        |      '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS bpe,
+        |    length(text) AS ch
+        |  FROM turns WHERE text IS NOT NULL)
         |GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_lang_id" -> (
@@ -2107,24 +2140,9 @@ object SparkEntry {
     // Shingle at 0-based pos i covers tokens a[i+1 : i+5] in DuckDB's
     // 1-based inclusive slice; islands/span-merge mirrors the Spark window.
     "q_dup_spans" -> (
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |sh AS (SELECT doc_id,
-        |  unnest(list_transform(range(0, len(a) - 4), i -> {'pos': i,
-        |    'sig': ('0x' || substr(md5(array_to_string(a[i+1 : i+5], ' ')), 1, 15))::BIGINT})) AS s
-        |  FROM d WHERE len(a) >= 5),
-        |sp AS (SELECT doc_id, s.pos AS pos, s.sig AS sig FROM sh),
-        |dp AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
-        |    min(doc_id) OVER (PARTITION BY sig) <> max(doc_id) OVER (PARTITION BY sig) AS dup
-        |  FROM sp) WHERE dup),
-        |isl AS (SELECT doc_id, pos,
-        |  sum(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM (SELECT doc_id, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp)),
-        |sl AS (SELECT doc_id, island, max(pos) - min(pos) + 5 AS span_len
-        |  FROM isl GROUP BY 1, 2),
+      s"""WITH $dupSpanCtes,
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-        |  CAST(sum(span_len) AS BIGINT) AS dup_tokens FROM sl GROUP BY 1)
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM spn GROUP BY 1)
         |SELECT d.doc_id, CAST(len(a) AS BIGINT) AS tok_cnt,
         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
@@ -2132,26 +2150,11 @@ object SparkEntry {
         |FROM d LEFT JOIN agg USING (doc_id)
         |ORDER BY 1""".stripMargin),
 
-    // Cut pass twin: spans via the same shingle/island CTEs, token stream
+    // Cut pass twin: spans via the SHARED dupSpanCtes, token stream
     // rebuilt positionally, covered tokens dropped by NOT EXISTS range
     // probe, survivors re-joined in position order and fingerprinted.
     "q_dup_spans_cut" -> (
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |sh AS (SELECT doc_id,
-        |  unnest(list_transform(range(0, len(a) - 4), i -> {'pos': i,
-        |    'sig': ('0x' || substr(md5(array_to_string(a[i+1 : i+5], ' ')), 1, 15))::BIGINT})) AS s
-        |  FROM d WHERE len(a) >= 5),
-        |sp AS (SELECT doc_id, s.pos AS pos, s.sig AS sig FROM sh),
-        |dp AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
-        |    min(doc_id) OVER (PARTITION BY sig) <> max(doc_id) OVER (PARTITION BY sig) AS dup
-        |  FROM sp) WHERE dup),
-        |isl AS (SELECT doc_id, pos,
-        |  sum(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM (SELECT doc_id, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp)),
-        |spn AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
-        |  FROM isl GROUP BY 1, 2),
+      s"""WITH $dupSpanCtes,
         |tq AS (SELECT doc_id, u.p AS p, u.t AS t FROM (SELECT doc_id,
         |  unnest(list_transform(range(1, len(a) + 1), i -> {'p': i - 1, 't': a[i]})) AS u
         |  FROM d)),

@@ -97,7 +97,11 @@ class CorpusStatsSpec extends SparkSpec {
       4L -> (S.take(5) ++ T),                       // S-span touches T-span → fused, frac 1.0
       5L -> (S.take(5) ++ u("ee", 5)),              // sharer of S's 5-prefix
       6L -> (u("ff", 5) ++ T),                      // sharer of T
-      7L -> Seq("a", "b", "c")                      // shorter than K: zero spans, not dropped
+      7L -> Seq("a", "b", "c"),                     // shorter than K: zero spans, not dropped
+      // WITHIN-doc-only repeat: R appears twice in doc 8 and nowhere else —
+      // min(doc)=max(doc), so the cross-document rule must yield ZERO spans
+      // (pins the rule against an occurrence-count>1 rewrite)
+      8L -> ((1 to 5).map(i => s"r$i") ++ u("hh", 6) ++ (1 to 5).map(i => s"r$i"))
     )
     val dir = java.nio.file.Files.createTempDirectory("dupspans").toString
     docs.map { case (id, ts) => (id, ts.mkString(" "), "en", "src", 0L) }
@@ -109,7 +113,7 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Seq(
       (1L, 17L, 1L, 7L), (2L, 17L, 1L, 7L), (3L, 20L, 2L, 14L),
       (4L, 10L, 1L, 10L), (5L, 10L, 1L, 5L), (6L, 10L, 1L, 5L),
-      (7L, 3L, 0L, 0L)))
+      (7L, 3L, 0L, 0L), (8L, 16L, 0L, 0L)))
     // the cut pass drops exactly the spans: doc 4 is fully covered (empty
     // survivor), doc 7 survives verbatim, doc 1 keeps its 10 filler tokens
     import graft.functions.TextFns.md5Long
@@ -119,7 +123,7 @@ class CorpusStatsSpec extends SparkSpec {
     val cut = cutDf.map(r => r._1 -> r._3).toMap
     val cutRows = cutDf.map(r => r._1 -> r._2).toMap
     assert(cutRows == Map(1L -> 10L, 2L -> 10L, 3L -> 6L, 4L -> 0L,
-      5L -> 5L, 6L -> 5L, 7L -> 3L))
+      5L -> 5L, 6L -> 5L, 7L -> 3L, 8L -> 16L))
     val fps = Seq(
       "" -> 4L,                                          // fully cut
       (u("ua", 5) ++ u("va", 5)).mkString(" ") -> 1L,    // span excised cleanly
