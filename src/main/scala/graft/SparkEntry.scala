@@ -378,6 +378,34 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ——— label-centroid similarity (embedding mean-pool) ———
+    // The aggregation side of the embedding ops: mean-pool vectors per
+    // label and compare the pooled representations pairwise — the corpus-
+    // level "how close are these sources/classes in embedding space"
+    // analytics (cluster sanity, mixture design). Pooling is the
+    // distributed elementwise mean: posexplode to (label, dim, value),
+    // partial-aggregating groupBy on (label, dim) — the shuffle carries
+    // labels×dims rows, NOT vectors — and per-dim sort re-assembles the
+    // centroid. Components round(,6) before the cosine (the IVF codebook
+    // convention) so both engines compare bit-identical centroids; the
+    // pairwise stage is a labels²-sized frame, broadcast by AQE.
+    "q_centroid_sim" -> ((s, dir) => {
+      import graft.functions.VectorFns._
+      val cent = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          e => e("c")).as("centroid"))
+      val a = cent.select(col("label").as("label_a"), col("centroid").as("va"))
+      val b = cent.select(col("label").as("label_b"), col("centroid").as("vb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    }),
+
     // ——— LSH-banded ANN: 32 random hyperplanes, 4 bands of 8 bits ———
     // The scale path for sign-plane LSH (r2 gap: 4 axis-aligned planes =
     // 16 buckets, toy recall/selectivity): a 32-bit random-plane signature
@@ -1998,6 +2026,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
         |  FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    // Centroid components round(,6) BEFORE the cosine (IVF codebook
+    // convention) so both engines compare bit-identical vectors; the
+    // cosine spelling matches VectorFns.cosine's dot/(norm*norm) order.
+    "q_centroid_sim" -> (
+      """WITH ex AS (SELECT label,
+        |  unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'dim': i, 'v': embedding[i]})) AS u
+        |  FROM embeddings),
+        |pc AS (SELECT label, u.dim AS dim, round(avg(u.v), 6) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY dim) AS centroid FROM pc GROUP BY 1)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_sum(list_apply(list_zip(a.centroid, b.centroid), t -> t[1] * t[2]))
+        |    / (sqrt(list_sum(list_apply(a.centroid, x -> x * x)))
+        |       * sqrt(list_sum(list_apply(b.centroid, x -> x * x)))), 6) AS cos_sim
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY 1, 2""".stripMargin),
 
     "q_knn_lsh" -> (
       s"""WITH ${duckBandsCte()},
