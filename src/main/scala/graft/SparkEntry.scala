@@ -398,11 +398,17 @@ object SparkEntry {
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           e => e("c")).as("centroid"))
-      val a = cent.select(col("label").as("label_a"), col("centroid").as("va"))
-      val b = cent.select(col("label").as("label_b"), col("centroid").as("vb"))
-      a.join(b, col("label_a") < col("label_b"))
-        .select(col("label_a"), col("label_b"),
-          round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      // pairs from ONE pooled frame via pack + double-explode (a self-join
+      // of the derived frame would recompute the whole pooling pipeline on
+      // both sides — exchange reuse does not fire across join aliases);
+      // packing all centroids into one row is bounded by the label
+      // vocabulary, the same cap argument as the IVF codebook pin
+      val packed = cent.agg(collect_list(struct(col("label"), col("centroid"))).as("cs"))
+      packed.select(explode(col("cs")).as("a"), col("cs"))
+        .select(col("a"), explode(col("cs")).as("b"))
+        .filter(col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          round(cosine(col("a.centroid"), col("b.centroid")), 6).as("cos_sim"))
         .orderBy("label_a", "label_b")
     }),
 

@@ -58,6 +58,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 5, s"dup-spans exchange count regressed: ${exchanges(p)}")
   }
 
+  test("token count and feature drift stay single-scan partial-aggregating plans") {
+    val t = plan("q_token_count")
+    assert(aggs(t) == 2, s"token count must be ONE partial+final aggregate pair, got ${aggs(t)}")
+    assert(exchanges(t) <= 2, s"token count exchange count regressed: ${exchanges(t)}")
+    val d = plan("q_feature_drift")
+    assert(count(d, "CartesianProduct") == 0)
+    assert(exchanges(d) <= 4, s"feature drift exchange count regressed: ${exchanges(d)}")
+  }
+
+  test("centroid similarity: ONE pooling pass, pairs via pack + double-explode") {
+    val p = plan("q_centroid_sim")
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "BroadcastHashJoin") == 0,
+      "pairs must come from the packed frame, not a derived-frame self-join")
+    // (label,dim) pooling exchange + label re-assembly exchange + single-
+    // partition pack + final sort — the pooling pipeline runs exactly once
+    assert(exchanges(p) <= 4, s"centroid-sim exchange count regressed: ${exchanges(p)}")
+  }
+
   test("ordered scans aggregate nothing and shuffle once (plus the final sort)") {
     val p = plan("q_sessionize")
     assert(aggs(p) == 0)
