@@ -134,6 +134,21 @@ class CorpusStatsSpec extends SparkSpec {
       assert(cut(id) == fp, s"kept_fp mismatch for doc $id") }
   }
 
+  test("dup spans are invariant under input repartitioning") {
+    // the dup rule and island merge ride window functions — their own
+    // exchanges must make the result independent of the incoming layout
+    val dir = "/root/testdata/sf0.001"
+    import graft.ops.DupSpans
+    def run(docs: org.apache.spark.sql.DataFrame) =
+      DupSpans.spans(docs, k = 5).as[(Long, Long, Long)].collect().toSeq.sorted
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    val base = run(docs)
+    assert(base.nonEmpty)
+    assert(run(docs.repartition(7)) == base)
+    assert(run(docs.repartition(1)) == base)
+  }
+
   test("mixture-budget selection is deterministic and a subset per source") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_mix_budget")
