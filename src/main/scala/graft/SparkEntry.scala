@@ -504,6 +504,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— quality-aware keeper selection ———
+    // Production dedup does not keep the minimum doc_id — it keeps the
+    // BEST cluster member (highest quality score, deterministic doc_id
+    // tiebreak), so near-dup collapse and quality filtering compose
+    // instead of fighting. Same pair graph and components as
+    // q_dedup_clusters; the keeper rule is one max_by over the
+    // cluster-labeled frame (the ordering key is a (quality, −doc_id)
+    // struct — exact, no string encoding needed on the Spark side).
+    "q_dedup_keeper_best" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val pairs = neardupLshPairs(s, dir)
+      val lbl = graft.ops.Components.minLabel(pairs, "da", "db")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), round(TextFns.qualityScore(col("text")), 6).as("q"))
+      val clustered = docs
+        .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("q"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+      val keepers = clustered.groupBy(col("cluster"))
+        .agg(max_by(col("doc_id"),
+            struct(col("q"), (-col("doc_id")).as("nd"))).as("keeper"),
+          max(col("q")).as("keeper_q"))
+      clustered.join(keepers, Seq("cluster"))
+        .select(col("doc_id"), col("keeper"), col("keeper_q"))
+        .orderBy("doc_id")
+    }),
+
     // ——— deterministic stratified sampling (curation primitive) ———
     // Hash-mod sampling, NOT rand(): the decision is a pure function of
     // the row key, so the sample is identical at any parallelism / any
@@ -2100,6 +2127,40 @@ object SparkEntry {
          |)
          |SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
          |ORDER BY doc_id""".stripMargin),
+
+    // DuckDB has no struct-keyed arg_max: encode (quality, −doc_id) as a
+    // fixed-width printf string (lexicographic = numeric for the
+    // non-negative zero-padded fields), max it, decode the doc_id back —
+    // the established composite-arg_max convention. Quality expression =
+    // the q_text_stats `quality` twin, rounded BEFORE comparison so both
+    // engines order identical doubles.
+    "q_dedup_keeper_best" -> (
+      s"""WITH RECURSIVE $neardupPairsCtes,
+         |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.src AS doc_id, reach.r FROM reach JOIN edges e ON e.dst = reach.doc_id
+         |),
+         |comp AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |qv AS (SELECT doc_id,
+         |  round(ln(1.0 + len(string_split(text, ' '))) *
+         |        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+         |          t -> t IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
+         |          / len(string_split(text, ' '))), 6) AS q
+         |  FROM documents),
+         |enc AS (SELECT c.doc_id, c.cluster, qv.q,
+         |  printf('%013.6f', qv.q) || '#' || printf('%010d', 9999999999 - c.doc_id) AS ek
+         |  FROM comp c JOIN qv USING (doc_id)),
+         |k AS (SELECT cluster, max(ek) AS mek, max(q) AS keeper_q
+         |  FROM enc GROUP BY 1)
+         |SELECT e.doc_id,
+         |  CAST(9999999999 - CAST(split_part(k.mek, '#', 2) AS BIGINT) AS BIGINT) AS keeper,
+         |  k.keeper_q
+         |FROM enc e JOIN k USING (cluster)
+         |ORDER BY 1""".stripMargin),
 
     "q_sample_hash" -> Oracle.withTurns(
       """SELECT conv_id, turn_idx, role FROM turns
