@@ -60,6 +60,21 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("quality keeper is idempotent and quality-dominates its cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_dedup_keeper_best")(spark, dir).localCheckpoint()
+    // a keeper must keep itself (idempotent collapse target)
+    val k = out.select(col("keeper").as("doc_id")).distinct()
+      .join(out, Seq("doc_id"))
+    assert(k.filter(col("keeper") =!= col("doc_id")).count() == 0,
+      "a keeper mapped to a different keeper")
+    // the keeper's quality dominates every member's own quality
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      round(graft.functions.TextFns.qualityScore(col("text")), 6).as("q"))
+    assert(out.join(q, "doc_id").filter(col("keeper_q") < col("q")).count() == 0,
+      "a cluster member outranks its keeper's quality")
+  }
+
   test("starContract handles self-loops, singleton edges and a triangle") {
     val edges = Seq((5L, 5L), (1L, 2L), (7L, 8L), (8L, 9L), (9L, 7L)).toDF("a", "b")
     val got = Components.starContract(edges, "a", "b")
