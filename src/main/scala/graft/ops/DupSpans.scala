@@ -18,6 +18,18 @@ import graft.functions.TextFns
   * sessionize island trick on the doc_id exchange. Every frame after the
   * shingle explode is token-stream-sized and hash-partitioned; nothing is
   * broadcast or collected.
+  *
+  * Skew note for the 100-TB tier: a hot boilerplate shingle (license
+  * headers, navigation chrome) sends every one of its occurrences to ONE
+  * window partition, and AQE cannot split a window partition the way it
+  * splits a skewed join. If profiling shows a hot sig, swap the window
+  * marking for the aggregate+join form — `groupBy(sig).agg(min, max)`
+  * collapses the hot key map-side (partial aggregation), and the
+  * positions⋈dupSigs join that replaces the window is skew-splittable by
+  * AQE — at the cost of computing the shingle projection twice (the same
+  * single-computation-vs-skew trade [[BlockedScan]] documents for ordered
+  * scans). The fixture-scale corpora nowhere near that regime, so this
+  * implementation keeps the one-pass window form.
   */
 object DupSpans {
 
