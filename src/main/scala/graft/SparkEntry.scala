@@ -564,6 +564,16 @@ object SparkEntry {
           capacity = 200L, nShards = 4)
         .toDF().orderBy("doc_id")),
 
+    // ——— transcript context assembly (turn-block packing) ———
+    // Chunk each conversation's turns, in order, into ≤40-token context
+    // blocks without splitting a turn — the SFT context-window assembly
+    // step (ops.Packing.packTurns; the conversation is the greedy stream,
+    // so parallelism is natural and the conv_id exchange is the same one
+    // the whole turn pipeline rides).
+    "q_pack_turns" -> ((s, dir) =>
+      graft.ops.Packing.packTurns(Tables.turns(s, dir), capacity = 40L)
+        .toDF().orderBy("conv_id", "turn_idx")),
+
     // ——— eval-set decontamination (n-gram overlap) ———
     // Flag training documents that share word 3-grams with a held-out
     // eval set (here: the deterministic doc_id % 97 == 0 slice — in
@@ -2190,6 +2200,26 @@ object SparkEntry {
         |    AND d.rn = p.rn + 1)
         |SELECT source, shard, doc_id, tok_cnt, CAST(bin AS INTEGER) AS bin
         |FROM pack ORDER BY doc_id""".stripMargin),
+
+    // The same row-walking recursive recurrence as q_pack_greedy's twin,
+    // per conversation in turn order; null text counts zero tokens.
+    "q_pack_turns" -> (s"WITH RECURSIVE ${Oracle.turnsCte},\n" +
+      """d AS (
+        |  SELECT conv_id, turn_idx,
+        |    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS tok_cnt,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+        |  FROM turns),
+        |pack AS (
+        |  SELECT conv_id, turn_idx, tok_cnt, rn, 1 AS block, tok_cnt AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.conv_id, d.turn_idx, d.tok_cnt, d.rn,
+        |    CASE WHEN p.fill + d.tok_cnt > 40 THEN p.block + 1 ELSE p.block END,
+        |    CASE WHEN p.fill + d.tok_cnt > 40 THEN d.tok_cnt
+        |         ELSE p.fill + d.tok_cnt END
+        |  FROM pack p JOIN d ON d.conv_id = p.conv_id AND d.rn = p.rn + 1)
+        |SELECT conv_id, turn_idx, tok_cnt, CAST(block AS INTEGER) AS block
+        |FROM pack ORDER BY conv_id, turn_idx""".stripMargin),
 
     "q_decontaminate" -> (
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -39,6 +39,45 @@ object Packing {
     * per source, documents walked in ascending `doc_id` within a stream.
     * `bin` is 1-based within each (source, shard) stream.
     */
+  case class TurnTok(conv_id: String, turn_idx: Int, tok_cnt: Long)
+  case class TurnBlock(conv_id: String, turn_idx: Int, tok_cnt: Long,
+                       block: Int)
+
+  /** Context assembly for transcripts: greedily chunk each conversation's
+    * turns, IN ORDER, into blocks of at most `capacity` whitespace tokens
+    * without ever splitting a turn — the SFT-context analog of [[packGreedy]]
+    * (there, order within a stream is a free choice; here, turn order is
+    * the semantics, so the conversation IS the stream and the natural
+    * parallelism). One hash exchange on conv_id + in-partition sort —
+    * identical layout to the rest of the turn pipeline, so upstream
+    * derivation sorts are reused. A turn larger than the capacity gets a
+    * block of its own; null-text turns count zero tokens but keep their
+    * place. `block` is 1-based per conversation. A giant conversation
+    * serializes on one task like any per-conv ordered scan — the
+    * [[BlockedScan]] boundary-carry story applies unchanged if profiling
+    * demands it.
+    */
+  def packTurns(turns: DataFrame, capacity: Long): Dataset[TurnBlock] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val ds = turns.select(
+      col("conv_id").cast("string").as("conv_id"),
+      col("turn_idx").cast("int").as("turn_idx"),
+      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("tok_cnt"))
+      .as[TurnTok]
+    ds.groupByKey(_.conv_id)
+      .flatMapSortedGroups(col("turn_idx")) { (conv: String, it: Iterator[TurnTok]) =>
+        var block = 0
+        var fill = 0L
+        it.map { t =>
+          if (block == 0 || fill + t.tok_cnt > capacity) {
+            block += 1; fill = t.tok_cnt
+          } else fill += t.tok_cnt
+          TurnBlock(conv, t.turn_idx, t.tok_cnt, block)
+        }
+      }
+  }
+
   def packGreedy(docs: DataFrame, capacity: Long, nShards: Int): Dataset[Packed] = {
     val spark = docs.sparkSession
     import spark.implicits._

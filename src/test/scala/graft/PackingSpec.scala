@@ -70,4 +70,43 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(one == many)
   }
+
+  private def turns(rows: Seq[(String, Int, String)]) =
+    rows.toDF("conv_id", "turn_idx", "text")
+
+  test("turn packing: blocks respect capacity, contiguity, and turn order") {
+    // tokens per turn: 3,3,3,9,2 at capacity 7 →
+    // [0,1] (3+3=6), [2] (6+3>7 → new; 3), [3] (3+9>7 → own block for the
+    // oversized turn... 9>7 alone too), [4] (9+2>7 → new)
+    val t = turns(Seq(
+      ("c", 0, "a b c"), ("c", 1, "d e f"), ("c", 2, "g h i"),
+      ("c", 3, "j k l m n o p q r"), ("c", 4, "s t")))
+    val got = Packing.packTurns(t, capacity = 7)
+      .orderBy("turn_idx").collect().map(b => (b.turn_idx, b.block)).toSeq
+    assert(got == Seq((0, 1), (1, 1), (2, 2), (3, 3), (4, 4)))
+    // blocks are 1-based, monotone non-decreasing in turn order, and no
+    // block's token sum exceeds capacity unless it is a single oversized turn
+    val byBlock = Packing.packTurns(t, 7).collect()
+      .groupBy(_.block).map { case (b, ts) => (b, ts.map(_.tok_cnt).sum, ts.length) }
+    byBlock.foreach { case (b, tot, n) =>
+      assert(tot <= 7 || n == 1, s"block $b over capacity with $n turns") }
+  }
+
+  test("turn packing: null text counts zero tokens and keeps its slot") {
+    val t = turns(Seq(("c", 0, "a b c"), ("c", 1, null), ("c", 2, "d e f")))
+    val got = Packing.packTurns(t, capacity = 6)
+      .orderBy("turn_idx").collect().map(b => (b.turn_idx, b.tok_cnt, b.block)).toSeq
+    assert(got == Seq((0, 3L, 1), (1, 0L, 1), (2, 3L, 1)))
+  }
+
+  test("turn packing is invariant under input repartitioning") {
+    val rows = (0 until 200).map(i =>
+      (s"c${i % 7}", i / 7, ("w " * ((i % 11) + 1)).trim))
+    val t = turns(rows)
+    val one = Packing.packTurns(t.repartition(1), 10)
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    val many = Packing.packTurns(t.repartition(13), 10)
+      .orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(one == many)
+  }
 }
