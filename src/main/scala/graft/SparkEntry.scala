@@ -794,6 +794,37 @@ object SparkEntry {
         .orderBy("role")
     }),
 
+    // ——— feature-drift detection, KS form ———
+    // The two-sample Kolmogorov–Smirnov statistic between the same two
+    // snapshots: max |ECDF_a − ECDF_b| over observed text lengths, per
+    // role — the binning-free complement to q_feature_drift's PSI (PSI
+    // needs a bin design; KS is exact on the raw values and its final
+    // MAX is order-independent, so cross-engine double parity is free).
+    // Same plan shape: one scan, conditional counts per (role, len),
+    // cumulative windows over the tiny grouped frame, per-role aggregate.
+    "q_feature_drift_ks" -> ((s, dir) => {
+      val b = Tables.turns(s, dir).filter(col("text").isNotNull)
+        .select(col("role"),
+          when(col("turn_idx") < 20, 1L).otherwise(0L).as("isa"),
+          length(col("text")).cast("long").as("len"))
+      val g = b.groupBy(col("role"), col("len"))
+        .agg(sum(col("isa")).as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+      val wcum = Window.partitionBy(col("role")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy(col("role"))
+      val e = g
+        .withColumn("cuma", sum(col("ca")).over(wcum))
+        .withColumn("cumb", sum(col("cb")).over(wcum))
+        .withColumn("tota", sum(col("ca")).over(wr))
+        .withColumn("totb", sum(col("cb")).over(wr))
+      e.groupBy(col("role"))
+        .agg(count(lit(1)).as("n_points"),
+          round(max(abs(
+            col("cuma").cast("double") / col("tota").cast("double") -
+            col("cumb").cast("double") / col("totb").cast("double"))), 6).as("ks"))
+        .orderBy("role")
+    }),
+
     // ——— unigram-LM perplexity quality score ———
     // The CCNet-style quality signal: train a unigram language model on
     // the corpus itself (token count ÷ corpus total), score each document
@@ -2331,6 +2362,27 @@ object SparkEntry {
         |          least(length(text), 63) AS bin
         |        FROM turns WHERE text IS NOT NULL)
         |      GROUP BY 1, 2)))
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_feature_drift_ks" -> Oracle.withTurns(
+      """SELECT role, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(tota AS DOUBLE)
+        |              - CAST(cumb AS DOUBLE) / CAST(totb AS DOUBLE))), 6) AS ks
+        |FROM (SELECT role,
+        |    sum(ca) OVER (PARTITION BY role ORDER BY len
+        |      ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (PARTITION BY role ORDER BY len
+        |      ROWS UNBOUNDED PRECEDING) AS cumb,
+        |    sum(ca) OVER (PARTITION BY role) AS tota,
+        |    sum(cb) OVER (PARTITION BY role) AS totb
+        |  FROM (SELECT role, len,
+        |      CAST(sum(isa) AS BIGINT) AS ca,
+        |      CAST(sum(1 - isa) AS BIGINT) AS cb
+        |    FROM (SELECT role,
+        |        CASE WHEN turn_idx < 20 THEN 1 ELSE 0 END AS isa,
+        |        length(text) AS len
+        |      FROM turns WHERE text IS NOT NULL)
+        |    GROUP BY 1, 2))
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_tfidf_top" -> (
