@@ -197,6 +197,44 @@ object StreamFeatures {
     * transcript streams). Empty batches are skipped, not merged (an empty
     * slice would burn a generation and a fingerprint on no data).
     */
+  case class PackCarry(block: Int, fill: Long)
+
+  /** Streaming context assembly: the flatMapGroupsWithState form of
+    * [[graft.ops.Packing.packTurns]] — turns stream in per-conversation
+    * order (append-only transcript ingestion, the same contract as
+    * [[incrementalUpsert]]), the greedy (block, fill) pair is the ONLY
+    * carried state (O(1) per conversation, the streaming-state analog of
+    * the batch scan's O(1) loop variables), and each micro-batch's slice
+    * is sorted in memory before the walk (bounded by the batch, not the
+    * conversation). Cross-batch greedy continuity is exact: a block split
+    * across micro-batches fills to the same boundary the batch operator
+    * computes on the union.
+    */
+  def packTurns(turns: DataFrame, capacity: Long): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val ds = turns.select(
+      col("conv_id").cast("string").as("conv_id"),
+      col("turn_idx").cast("int").as("turn_idx"),
+      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("tok_cnt"))
+      .as[graft.ops.Packing.TurnTok]
+    ds.groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (conv: String, it: Iterator[graft.ops.Packing.TurnTok],
+         gs: GroupState[PackCarry]) =>
+          var carry = gs.getOption.getOrElse(PackCarry(0, 0L))
+          val out = it.toVector.sortBy(_.turn_idx).map { t =>
+            carry =
+              if (carry.block == 0 || carry.fill + t.tok_cnt > capacity)
+                PackCarry(carry.block + 1, t.tok_cnt)
+              else PackCarry(carry.block, carry.fill + t.tok_cnt)
+            graft.ops.Packing.TurnBlock(conv, t.turn_idx, t.tok_cnt, carry.block)
+          }
+          gs.update(carry)
+          out.iterator
+      }.toDF()
+  }
+
   def incrementalUpsert(turns: DataFrame, storeDir: String,
                         checkpointDir: String,
                         gapSeconds: Long = graft.SparkEntry.SessionGapSeconds) =

@@ -255,6 +255,30 @@ class InfraSpec extends SparkSpec {
       s"expected first-wins keepers 1,2,5 — got $kept")
   }
 
+  test("streaming turn packing: blocks split across micro-batches equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, String)]
+    val df = mem.toDF().toDF("conv_id", "turn_idx", "text")
+    val q = StreamFeatures.packTurns(df, capacity = 7)
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    // batch 1 ends mid-block (3+3=6 of 7); batch 2's first turn must
+    // overflow THAT carried block, not start fresh
+    mem.addData(("c", 0, "a b c"), ("c", 1, "d e f"))
+    q.processAllAvailable()
+    mem.addData(("c", 2, "g h i"), ("c", 3, "j k"), ("d", 0, "x y z"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT conv_id, turn_idx, block FROM pack_out ORDER BY conv_id, turn_idx")
+      .as[(String, Int, Int)].collect().toSeq
+    q.stop()
+    val batch = graft.ops.Packing.packTurns(
+      Seq(("c", 0, "a b c"), ("c", 1, "d e f"), ("c", 2, "g h i"),
+        ("c", 3, "j k"), ("d", 0, "x y z")).toDF("conv_id", "turn_idx", "text"),
+      capacity = 7)
+      .orderBy("conv_id", "turn_idx")
+      .collect().map(b => (b.conv_id, b.turn_idx, b.block)).toSeq
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
   test("streaming incremental upsert: micro-batches maintain the store exactly, replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int, String, String, Option[String], java.sql.Timestamp)]
