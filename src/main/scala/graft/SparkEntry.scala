@@ -817,11 +817,15 @@ object SparkEntry {
         .withColumn("cumb", sum(col("cb")).over(wcum))
         .withColumn("tota", sum(col("ca")).over(wr))
         .withColumn("totb", sum(col("cb")).over(wr))
+      // a role entirely absent from one snapshot is MAXIMUM drift, not a
+      // NaN the max would quietly propagate past a `ks > threshold` alert
+      // (0/0 ECDFs; doubles don't throw under ANSI) — pin ks = 1.0
       e.groupBy(col("role"))
         .agg(count(lit(1)).as("n_points"),
-          round(max(abs(
-            col("cuma").cast("double") / col("tota").cast("double") -
-            col("cumb").cast("double") / col("totb").cast("double"))), 6).as("ks"))
+          round(when(max(col("tota")) === 0L || max(col("totb")) === 0L, lit(1.0))
+            .otherwise(max(abs(
+              col("cuma").cast("double") / col("tota").cast("double") -
+              col("cumb").cast("double") / col("totb").cast("double")))), 6).as("ks"))
         .orderBy("role")
     }),
 
@@ -2366,8 +2370,9 @@ object SparkEntry {
 
     "q_feature_drift_ks" -> Oracle.withTurns(
       """SELECT role, CAST(count(*) AS BIGINT) AS n_points,
-        |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(tota AS DOUBLE)
-        |              - CAST(cumb AS DOUBLE) / CAST(totb AS DOUBLE))), 6) AS ks
+        |  round(CASE WHEN max(tota) = 0 OR max(totb) = 0 THEN 1.0
+        |    ELSE max(abs(CAST(cuma AS DOUBLE) / CAST(tota AS DOUBLE)
+        |               - CAST(cumb AS DOUBLE) / CAST(totb AS DOUBLE))) END, 6) AS ks
         |FROM (SELECT role,
         |    sum(ca) OVER (PARTITION BY role ORDER BY len
         |      ROWS UNBOUNDED PRECEDING) AS cuma,

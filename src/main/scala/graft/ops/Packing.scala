@@ -33,15 +33,41 @@ object Packing {
   case class DocTok(source: String, shard: Int, doc_id: Long, tok_cnt: Long)
   case class Packed(source: String, shard: Int, doc_id: Long, tok_cnt: Long,
                     bin: Int)
-
-  /** Pack `docs` (needs `source`, `doc_id`, `text`) into bins of at most
-    * `capacity` whitespace tokens, `nShards` independent greedy streams
-    * per source, documents walked in ascending `doc_id` within a stream.
-    * `bin` is 1-based within each (source, shard) stream.
-    */
   case class TurnTok(conv_id: String, turn_idx: Int, tok_cnt: Long)
   case class TurnBlock(conv_id: String, turn_idx: Int, tok_cnt: Long,
                        block: Int)
+
+  /** Open bin/block bookkeeping: id 0 = nothing open yet. */
+  case class Carry(id: Int, fill: Long)
+
+  /** THE greedy recurrence, written once — the batch packers, the
+    * streaming packer, and the DuckDB oracle twins all encode exactly
+    * this step: open a new bin when nothing is open or the item would
+    * overflow, else add to the open bin. An oversized item opens its own
+    * bin (truncation is the trainer's decision, not the packer's).
+    */
+  def advance(c: Carry, tok: Long, capacity: Long): Carry =
+    if (c.id == 0 || c.fill + tok > capacity) Carry(c.id + 1, tok)
+    else Carry(c.id, c.fill + tok)
+
+  /** Whitespace token count of `text`, shared by every packer so the
+    * stream-equals-batch contract can't drift on tokenization. Exact
+    * semantics (parity-pinned with DuckDB's `string_split`): null → 0,
+    * empty or whitespace-only text → its split length (`""` counts 1 —
+    * the split yields one empty token on both engines).
+    */
+  def tokCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(size(split(text, " ")).cast("long"), lit(0L))
+
+  /** The (conv_id, turn_idx, tok_cnt) projection both turn packers read. */
+  def turnToks(turns: DataFrame): Dataset[TurnTok] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.select(
+      col("conv_id").cast("string").as("conv_id"),
+      col("turn_idx").cast("int").as("turn_idx"),
+      tokCount(col("text")).as("tok_cnt")).as[TurnTok]
+  }
 
   /** Context assembly for transcripts: greedily chunk each conversation's
     * turns, IN ORDER, into blocks of at most `capacity` whitespace tokens
@@ -51,8 +77,8 @@ object Packing {
     * parallelism). One hash exchange on conv_id + in-partition sort —
     * identical layout to the rest of the turn pipeline, so upstream
     * derivation sorts are reused. A turn larger than the capacity gets a
-    * block of its own; null-text turns count zero tokens but keep their
-    * place. `block` is 1-based per conversation. A giant conversation
+    * block of its own; token counting follows [[tokCount]] (null → 0).
+    * `block` is 1-based per conversation. A giant conversation
     * serializes on one task like any per-conv ordered scan — the
     * [[BlockedScan]] boundary-carry story applies unchanged if profiling
     * demands it.
@@ -60,24 +86,21 @@ object Packing {
   def packTurns(turns: DataFrame, capacity: Long): Dataset[TurnBlock] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    val ds = turns.select(
-      col("conv_id").cast("string").as("conv_id"),
-      col("turn_idx").cast("int").as("turn_idx"),
-      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("tok_cnt"))
-      .as[TurnTok]
-    ds.groupByKey(_.conv_id)
+    turnToks(turns).groupByKey(_.conv_id)
       .flatMapSortedGroups(col("turn_idx")) { (conv: String, it: Iterator[TurnTok]) =>
-        var block = 0
-        var fill = 0L
+        var c = Carry(0, 0L)
         it.map { t =>
-          if (block == 0 || fill + t.tok_cnt > capacity) {
-            block += 1; fill = t.tok_cnt
-          } else fill += t.tok_cnt
-          TurnBlock(conv, t.turn_idx, t.tok_cnt, block)
+          c = advance(c, t.tok_cnt, capacity)
+          TurnBlock(conv, t.turn_idx, t.tok_cnt, c.id)
         }
       }
   }
 
+  /** Pack `docs` (needs `source`, `doc_id`, `text`) into bins of at most
+    * `capacity` whitespace tokens, `nShards` independent greedy streams
+    * per source, documents walked in ascending `doc_id` within a stream.
+    * `bin` is 1-based within each (source, shard) stream.
+    */
   def packGreedy(docs: DataFrame, capacity: Long, nShards: Int): Dataset[Packed] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -85,17 +108,14 @@ object Packing {
       col("source"),
       pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
       col("doc_id").cast("long").as("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("tok_cnt")).as[DocTok]
+      tokCount(col("text")).as("tok_cnt")).as[DocTok]
     ds.groupByKey(d => (d.source, d.shard))
       .flatMapSortedGroups(col("doc_id")) {
         (key: (String, Int), it: Iterator[DocTok]) =>
-          var bin = 0
-          var fill = 0L
+          var c = Carry(0, 0L)
           it.map { d =>
-            if (bin == 0 || fill + d.tok_cnt > capacity) {
-              bin += 1; fill = d.tok_cnt
-            } else fill += d.tok_cnt
-            Packed(key._1, key._2, d.doc_id, d.tok_cnt, bin)
+            c = advance(c, d.tok_cnt, capacity)
+            Packed(key._1, key._2, d.doc_id, d.tok_cnt, c.id)
           }
       }
   }

@@ -197,41 +197,48 @@ object StreamFeatures {
     * transcript streams). Empty batches are skipped, not merged (an empty
     * slice would burn a generation and a fingerprint on no data).
     */
-  case class PackCarry(block: Int, fill: Long)
-
   /** Streaming context assembly: the flatMapGroupsWithState form of
     * [[graft.ops.Packing.packTurns]] — turns stream in per-conversation
     * order (append-only transcript ingestion, the same contract as
-    * [[incrementalUpsert]]), the greedy (block, fill) pair is the ONLY
-    * carried state (O(1) per conversation, the streaming-state analog of
-    * the batch scan's O(1) loop variables), and each micro-batch's slice
-    * is sorted in memory before the walk (bounded by the batch, not the
-    * conversation). Cross-batch greedy continuity is exact: a block split
-    * across micro-batches fills to the same boundary the batch operator
-    * computes on the union.
+    * [[incrementalUpsert]]). Projection and greedy step are the SHARED
+    * [[graft.ops.Packing.turnToks]] / [[graft.ops.Packing.advance]], so
+    * stream-equals-batch cannot drift on tokenization or the overflow
+    * rule; the carried [[graft.ops.Packing.Carry]] is the only state
+    * (O(1) per conversation), and each micro-batch's slice is sorted in
+    * memory before the walk (bounded by the batch, not the conversation).
+    * Cross-batch greedy continuity is exact: a block split across
+    * micro-batches fills to the same boundary the batch operator computes
+    * on the union. `stateTtl` bounds the state store on an unbounded
+    * conversation population (the [[dedupExact]] bounded-state contract):
+    * a conversation idle past the TTL is evicted, and a turn arriving
+    * after eviction restarts block numbering — set it to the ingestion
+    * pipeline's conversation-closed horizon.
     */
-  def packTurns(turns: DataFrame, capacity: Long): DataFrame = {
+  def packTurns(turns: DataFrame, capacity: Long,
+                stateTtl: Option[String] = None): DataFrame = {
+    import graft.ops.Packing
     val spark = turns.sparkSession
     import spark.implicits._
-    val ds = turns.select(
-      col("conv_id").cast("string").as("conv_id"),
-      col("turn_idx").cast("int").as("turn_idx"),
-      coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("tok_cnt"))
-      .as[graft.ops.Packing.TurnTok]
-    ds.groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (conv: String, it: Iterator[graft.ops.Packing.TurnTok],
-         gs: GroupState[PackCarry]) =>
-          var carry = gs.getOption.getOrElse(PackCarry(0, 0L))
-          val out = it.toVector.sortBy(_.turn_idx).map { t =>
-            carry =
-              if (carry.block == 0 || carry.fill + t.tok_cnt > capacity)
-                PackCarry(carry.block + 1, t.tok_cnt)
-              else PackCarry(carry.block, carry.fill + t.tok_cnt)
-            graft.ops.Packing.TurnBlock(conv, t.turn_idx, t.tok_cnt, carry.block)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    Packing.turnToks(turns).groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (conv: String, it: Iterator[Packing.TurnTok],
+         gs: GroupState[Packing.Carry]) =>
+          if (gs.hasTimedOut) {
+            gs.remove()
+            Iterator.empty
+          } else {
+            var carry = gs.getOption.getOrElse(Packing.Carry(0, 0L))
+            val out = it.toVector.sortBy(_.turn_idx).map { t =>
+              carry = Packing.advance(carry, t.tok_cnt, capacity)
+              Packing.TurnBlock(conv, t.turn_idx, t.tok_cnt, carry.id)
+            }
+            gs.update(carry)
+            stateTtl.foreach(gs.setTimeoutDuration)
+            out.iterator
           }
-          gs.update(carry)
-          out.iterator
       }.toDF()
   }
 

@@ -279,6 +279,17 @@ class InfraSpec extends SparkSpec {
     assert(got == batch, s"stream $got != batch $batch")
   }
 
+  test("streaming turn packing: stateTtl plumbs a processing-time timeout into the plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, String)]
+    val df = mem.toDF().toDF("conv_id", "turn_idx", "text")
+    // plan-level only (same rationale as the as-of TTL test above)
+    val withTtl = StreamFeatures.packTurns(df, 7, stateTtl = Some("1 hour"))
+    assert(withTtl.queryExecution.analyzed.toString.contains("ProcessingTimeTimeout"))
+    val noTtl = StreamFeatures.packTurns(df, 7)
+    assert(noTtl.queryExecution.analyzed.toString.contains("NoTimeout"))
+  }
+
   test("streaming incremental upsert: micro-batches maintain the store exactly, replay no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int, String, String, Option[String], java.sql.Timestamp)]
