@@ -531,6 +531,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— cross-source duplication matrix ———
+    // Corpus governance: which sources duplicate into which — the
+    // licensing/contamination question a mixture designer asks before
+    // weighting sources. Rides the verified LSH pair list (≪ corpus);
+    // each pair maps to its unordered source pair (least/greatest
+    // normalization keeps the matrix upper-triangular), one count per
+    // cell. The doc→source join is pairs-sized, the aggregate is
+    // sources²-sized; nothing here grows with the corpus beyond the
+    // pair pipeline itself.
+    "q_dup_matrix" -> ((s, dir) => {
+      val pairs = neardupLshPairs(s, dir)
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.withColumnRenamed("doc_id", "da").withColumnRenamed("source", "sa"), Seq("da"))
+        .join(src.withColumnRenamed("doc_id", "db").withColumnRenamed("source", "sb"), Seq("db"))
+        .groupBy(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ——— deterministic stratified sampling (curation primitive) ———
     // Hash-mod sampling, NOT rand(): the decision is a pure function of
     // the row key, so the sample is identical at any parallelism / any
@@ -2172,6 +2193,17 @@ object SparkEntry {
          |)
          |SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
          |ORDER BY doc_id""".stripMargin),
+
+    "q_dup_matrix" -> (
+      s"""WITH $neardupPairsCtes,
+         |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
+         |ss AS (SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b
+         |  FROM pairs JOIN documents a ON pairs.da = a.doc_id
+         |             JOIN documents b ON pairs.db = b.doc_id)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM ss GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin),
 
     // DuckDB has no struct-keyed arg_max: encode (quality, −doc_id) as a
     // fixed-width printf string (lexicographic = numeric for the

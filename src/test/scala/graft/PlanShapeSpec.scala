@@ -77,6 +77,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 4, s"centroid-sim exchange count regressed: ${exchanges(p)}")
   }
 
+  test("turn packing: no aggregation, bounded exchanges") {
+    val p = plan("q_pack_turns")
+    assert(aggs(p) == 0, s"greedy packing must not aggregate, got ${aggs(p)}")
+    // turns-derivation window exchange + groupByKey's lambda-keyed
+    // exchange (opaque to column-level reuse) + the final ORDER BY
+    assert(exchanges(p) <= 3, s"pack-turns exchange count regressed: ${exchanges(p)}")
+  }
+
   test("ordered scans aggregate nothing and shuffle once (plus the final sort)") {
     val p = plan("q_sessionize")
     assert(aggs(p) == 0)
