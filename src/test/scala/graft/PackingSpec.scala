@@ -99,6 +99,31 @@ class PackingSpec extends SparkSpec {
     assert(got == Seq((0, 3L, 1), (1, 0L, 1), (2, 3L, 1)))
   }
 
+  test("turn packing equals a plain sequential fold on seeded-random conversations") {
+    // differential oracle: the distributed packer against an in-memory
+    // walk of the same greedy recurrence, across 30 random (seeded)
+    // conversations with token counts spanning under/at/over capacity
+    var x = 42L
+    def nxt(mod: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      java.lang.Long.remainderUnsigned(x >>> 16, mod).toInt
+    }
+    val cap = 9L
+    val rows = for (c <- 0 until 30; t <- 0 until (nxt(12) + 1)) yield
+      (s"c$c", t, ("w " * (nxt(13) + 1)).trim)
+    val expected = rows.groupBy(_._1).flatMap { case (conv, ts) =>
+      var c = Packing.Carry(0, 0L)
+      ts.sortBy(_._2).map { case (_, idx, text) =>
+        val tok = text.split(" ").length.toLong
+        c = Packing.advance(c, tok, cap)
+        (conv, idx, c.id)
+      }
+    }.toSeq.sorted
+    val got = Packing.packTurns(rows.toDF("conv_id", "turn_idx", "text"), cap)
+      .collect().map(b => (b.conv_id, b.turn_idx, b.block)).toSeq.sorted
+    assert(got == expected)
+  }
+
   test("turn packing is invariant under input repartitioning") {
     val rows = (0 until 200).map(i =>
       (s"c${i % 7}", i / 7, ("w " * ((i % 11) + 1)).trim))
