@@ -138,10 +138,17 @@ object Bench {
     def contention: Double = math.max(low.contention, high.contention)
   }
 
+  /** `maxContention` = worst per-pair ext+steal host-CPU fraction across
+    * ALL attempts that entered the campaign (clean AND outlier-rejected —
+    * for-cause-rejected attempts never enter), so a campaign whose
+    * noisiest window hit an outlier-rejected pair still reports it
+    * (ADVICE r5: the old `max_ext_cpu` covered clean pairs only and the
+    * name hid that the value includes steal).
+    */
   final case class ScaleResult(nLow: Int, turns: Long, tpsLow: Double,
                                tpsHigh: Double, eff: Double,
                                clean: Int, rejected: Int, contended: Int,
-                               maxExt: Double) {
+                               maxContention: Double) {
     // an efficiency median ABOVE 1.0 is physically implausible on identical
     // work: it means the low-parallelism sides were systematically slowed
     // by ambient load during the campaign window (individual >1.05 pairs
@@ -151,10 +158,10 @@ object Bench {
       (if (eff > 1.0) ""","low_side_contended":true""" else "") +
         (if (contended > 0) s""","contended_pairs":$contended""" else "")
     def json: String =
-      f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected,"max_ext_cpu":$maxExt%.2f$note}"""
+      f"""{"turns":$turns,"n_low":$nLow,"turns_per_sec_n":$tpsLow%.1f,"turns_per_sec_4n":$tpsHigh%.1f,"efficiency":$eff%.3f,"clean_pairs":$clean,"rejected_pairs":$rejected,"max_contention":$maxContention%.2f$note}"""
     /** Byte-lean form for the final tail-window line. */
     def jsonCompact: String =
-      f"""{"turns":$turns,"n_low":$nLow,"tps_n":$tpsLow%.0f,"tps_4n":$tpsHigh%.0f,"clean_pairs":$clean,"rejected_pairs":$rejected,"ext":$maxExt%.2f$note}"""
+      f"""{"turns":$turns,"n_low":$nLow,"tps_n":$tpsLow%.0f,"tps_4n":$tpsHigh%.0f,"clean_pairs":$clean,"rejected_pairs":$rejected,"cont":$maxContention%.2f$note}"""
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -245,7 +252,11 @@ object Bench {
            (r < minClean || cleanPairs(pairs.toSeq).size < minClean)) {
       val low = timedRun(nLow)
       val high = timedRun(nLow * 4)
-      val p = ScalePair(r + 1, low.sec, high.sec, low, high)
+      // label by ATTEMPT number (monotone across for-cause rejections), not
+      // by pair count — a contention-rejected attempt does not increment
+      // `r`, and reusing its label made two distinct "rep 2" lines appear
+      // in one campaign log (ADVICE r5)
+      val p = ScalePair(r + contended + 1, low.sec, high.sec, low, high)
       val isContended = p.contention > contMax
       val tag = if (isContended) f" CONTENDED(${p.contention}%.2f>$contMax%.2f)" else ""
       val msg = f"rep ${p.rep}: local[$nLow]=${low.sec}%.1fs local[${nLow * 4}]=${high.sec}%.1fs " +
@@ -274,7 +285,8 @@ object Bench {
       median(clean.map(p => nTurns / p.tLow)),
       median(clean.map(p => nTurns / p.tHigh)),
       median(clean.map(_.eff)), clean.size, rejected, contended,
-      if (clean.isEmpty) 0.0 else clean.map(_.contention).max))
+      // over ALL non-contended attempts, not just clean pairs (see scaladoc)
+      pairs.map(_.contention).max))
   }
 
   /** Append a campaign row to the UNTRACKED side file

@@ -864,7 +864,7 @@ object SparkEntry {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val v = toks.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
       val tot = v.agg(sum(col("cnt")).as("total"))
-      val lp = v.crossJoin(tot)
+      val lp = v.crossJoin(broadcast(tot))
         .select(col("t"), log(col("cnt").cast("double") / col("total")).as("lp"))
       toks.join(broadcast(lp), Seq("t"))
         .groupBy(col("doc_id"))
@@ -2251,7 +2251,7 @@ object SparkEntry {
     "q_pack_greedy" -> (
       """WITH RECURSIVE d AS (
         |  SELECT source, CAST(doc_id % 4 AS INTEGER) AS shard, doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt,
+        |    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS tok_cnt,
         |    row_number() OVER (PARTITION BY source, doc_id % 4 ORDER BY doc_id) AS rn
         |  FROM documents),
         |pack AS (

@@ -322,17 +322,28 @@ object IncrementalStore {
     * re-run simply redoes the merge), and a re-run AFTER a successful flip
     * is detected by the slice fingerprint recorded in `_CURRENT` and
     * becomes a no-op instead of double-merging the slice.
+    *
+    * CAVEAT (ADVICE r5): the fingerprint is slice CONTENT, order- and
+    * partitioning-independent — so without `epochId`, a genuinely NEW
+    * cycle whose partials are byte-identical to the previous one
+    * (plausible for synthetic or repeating feeds) is indistinguishable
+    * from a replay and is dropped. Callers that HAVE an external cycle
+    * identity (foreachBatch's batchId, a scheduler run id) should pass it
+    * as `epochId`: it is mixed into the recorded id, so a replay of the
+    * SAME epoch stays a detected no-op while an identical-content NEW
+    * epoch merges. Callers without one accept the content-only semantics.
     */
   def upsert(spark: SparkSession, dir: String, slice: DataFrame,
              gapSeconds: Long = graft.SparkEntry.SessionGapSeconds,
-             families: Set[String] = Incremental.AllFamilies): DataFrame = {
+             families: Set[String] = Incremental.AllFamilies,
+             epochId: Option[Long] = None): DataFrame = {
     Files.createDirectories(Paths.get(dir))
     // checkpoint: the partials feed the fingerprint action AND the merge
     // write — one computation, |touched convs|-sized. A family set
     // narrower than the stored generations' fails loudly in merge (the
     // skipped summaries would be unrecoverable without the slice's turns).
     val sliceP = Incremental.partials(slice, gapSeconds, families).localCheckpoint()
-    val sid = sliceId(sliceP)
+    val sid = epochId.fold(sliceId(sliceP))(e => s"e$e-${sliceId(sliceP)}")
     val cur = currentGen(dir)
     cur match {
       case Some((g, Some(prevSid))) if prevSid == sid =>

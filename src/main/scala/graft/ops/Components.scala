@@ -58,6 +58,15 @@ object Components {
     * restoring the previous value after. Only safe because every frame the
     * body returns is eagerly materialized (localCheckpoint) before the
     * restore — nothing lazy escapes with the narrowed width.
+    *
+    * SINGLE-PLANNER assumption: `spark.sql.shuffle.partitions` is a
+    * session-global knob, so any query PLANNED concurrently on the same
+    * SparkSession during `body` (a streaming micro-batch, a parallel test
+    * suite sharing the session) silently plans at the narrowed width.
+    * Callers running components concurrently with other planning on one
+    * session should use `SparkSession.newSession()` for isolation — the
+    * per-round frames here are deliberately tiny, so the narrowed width is
+    * an optimization for THIS loop, not a safe ambient default.
     */
   private def withShuffleParts[T](df: DataFrame, parts: Int)(body: => T): T = {
     val conf = df.sparkSession.conf

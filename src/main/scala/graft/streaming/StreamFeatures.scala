@@ -248,10 +248,14 @@ object StreamFeatures {
     turns.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          // batchId rides into the recorded slice id: a foreachBatch replay
+          // re-delivers the SAME id (stays a detected no-op) while a new
+          // batch with coincidentally identical content merges (ADVICE r5)
           graft.features.IncrementalStore.upsert(
-            batch.sparkSession, storeDir, batch.toDF(), gapSeconds)
+            batch.sparkSession, storeDir, batch.toDF(), gapSeconds,
+            epochId = Some(batchId))
           ()
         }
       }

@@ -317,12 +317,21 @@ class InfraSpec extends SparkSpec {
       .orderBy("conv_id").collect().map(_.toString).toSeq
     assert(got == direct)
     // at-least-once replay of the LAST batch (crash between store flip and
-    // checkpoint commit): the slice fingerprint makes it a detected no-op
+    // checkpoint commit): foreachBatch re-delivers the SAME batchId, so the
+    // epoch-mixed slice fingerprint makes it a detected no-op
     val gens = new java.io.File(storeDir).list().filter(_.startsWith("gen-")).sorted.toSeq
     graft.features.IncrementalStore.upsert(spark, storeDir,
-      b2.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+      b2.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      epochId = Some(1L))
     val gens2 = new java.io.File(storeDir).list().filter(_.startsWith("gen-")).sorted.toSeq
     assert(gens2 == gens, s"replayed batch advanced the store: $gens -> $gens2")
+    // and the SAME content under a NEW epoch is a genuinely new cycle — it
+    // merges (idempotently for the moments, but the store advances)
+    graft.features.IncrementalStore.upsert(spark, storeDir,
+      b2.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      epochId = Some(2L))
+    val gens3 = new java.io.File(storeDir).list().filter(_.startsWith("gen-")).sorted.toSeq
+    assert(gens3 != gens2, "identical-content NEW epoch was dropped as a replay")
   }
 
   test("multimodal: batched stub decode preserves ids, deterministic sigs") {
