@@ -504,6 +504,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— dedup completion via STAR CONTRACTION (oracle-pinned) ———
+    // Same contract and oracle as q_dedup_clusters, but the components run
+    // through the O(log n) large-star/small-star contraction DIRECTLY —
+    // the giant-diameter fallback path (Kiveris et al., SoCC'14) that was
+    // previously reachable only via minLabel's iteration cap and pinned
+    // only by specs (r5 VERDICT → r6 #2). With both registry entries
+    // green, the fallback swap inside minLabel is between two
+    // independently oracle-verified algorithms.
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = neardupLshPairs(s, dir)
+      val lbl = graft.ops.Components.starContract(pairs, "da", "db")
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper"))
+        .orderBy("doc_id")
+    }),
+
     // ——— quality-aware keeper selection ———
     // Production dedup does not keep the minimum doc_id — it keeps the
     // BEST cluster member (highest quality score, deterministic doc_id
@@ -671,20 +688,34 @@ object SparkEntry {
     // and hand AQE a corpus-sized frame to broadcast. One chunking pass,
     // one exchange on sig, one on doc_id.
     // Emits per-doc chunk counts + how many chunks also appear elsewhere.
-    "q_chunk_dedup" -> ((s, dir) => {
-      import graft.functions.TextFns
-      val sigs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("a"))
-        .withColumn("h", TextFns.cdcHashes(col("a")))
-        .withColumn("cuts", TextFns.cdcCuts(col("a"), col("h")))
-        .select(col("doc_id"),
-          explode(TextFns.cdcChunks(col("a"), col("cuts"))).as("chunk"))
-        .select(col("doc_id"), TextFns.md5Long(col("chunk")).as("sig"))
-      sigs
+    "q_chunk_dedup" -> ((s, dir) =>
+      cdcChunkSigs(s, dir)
         .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("sig"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("n_occ") > 1, 1)).as("dup_chunks"))
+        .orderBy("doc_id")),
+
+    // ——— CDC chunk dedup, HOT-CHUNK SKEW PATH ———
+    // Same semantics and oracle as q_chunk_dedup; the corpus-wide
+    // occurrence count moves from a count-over-window on sig (every
+    // occurrence of one boilerplate chunk → ONE task, un-splittable by
+    // AQE) to groupBy(sig) — whose partial aggregation collapses the hot
+    // chunk map-side — plus a chunks⋈dupSigs join that AQE broadcasts
+    // (dupSigs is duplicated-chunk-sized) or skew-splits. The chunking
+    // projection (the dominant cost: md5 per token) is materialized ONCE
+    // rather than recomputed on the aggregate side — the same trade as
+    // q_dup_spans_skew, measured in tools/DupSkewBench.scala.
+    "q_chunk_dedup_skew" -> ((s, dir) => {
+      val sigs = cdcChunkSigs(s, dir).localCheckpoint()
+      val dupSigs = sigs.groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1)
+        .select(col("sig"), lit(1).as("__dup"))
+      sigs.join(dupSigs, Seq("sig"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(col("__dup")).as("dup_chunks"))
         .orderBy("doc_id")
     }),
 
@@ -738,22 +769,20 @@ object SparkEntry {
     // doc_id (shared by the island window and the final aggregate).
     // At 100 TB every frame after the shingle explode is token-stream-
     // sized and hash-partitioned; nothing is broadcast or collected.
-    "q_dup_spans" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("a"))
-      val agg = DupSpans.spans(docs, k = 5)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("e") - col("s") + 1L).as("dup_tokens"))
-      docs.select(col("doc_id"), size(col("a")).cast("long").as("tok_cnt"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("tok_cnt"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("tok_cnt"), 6)
-            .as("dup_frac"))
-        .orderBy("doc_id")
-    }),
+    "q_dup_spans" -> ((s, dir) => dupSpansQuery(s, dir, skewSafe = false)),
+
+    // ——— duplicated-span detection, HOT-SHINGLE SKEW PATH ———
+    // Identical semantics and oracle to q_dup_spans, different physical
+    // marking: groupBy(sig) (map-side partial agg collapses a hot
+    // boilerplate shingle per input partition) + an AQE-broadcastable /
+    // skew-splittable positions⋈dupSigs join, instead of the min/max
+    // window that pins every occurrence of one sig to one task. This is
+    // the 100-TB deployment form for corpora with hot shingles (license
+    // headers, navigation chrome); the trade — one materialization of the
+    // shingle projection instead of a second compute pass — and the
+    // measured crossover live in ops/DupSpans.scala and
+    // tools/DupSkewBench.scala.
+    "q_dup_spans_skew" -> ((s, dir) => dupSpansQuery(s, dir, skewSafe = true)),
 
     // ——— duplicated-span CUT pass ———
     // The removal stage the detection feeds: drop every token covered by a
@@ -1303,44 +1332,41 @@ object SparkEntry {
     // pass) is already the scale path.
     "q_knn_ivf" -> ((s, dir) => {
       import graft.functions.VectorFns._
-      val e = Tables.embeddings(s, dir)
-      val seed = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"),
-          transform(col("embedding"), x => x.cast("double")).as("cv"))
-      // CODEBOOK-sized collect (16 rows × dim doubles — bounded by k, not
-      // by data): each Lloyd iteration is then ONE corpus pass against a
-      // literal broadcast codebook. Without pinning, the lazy lineage
-      // re-executes every prior iteration at each reference (measured: 20
-      // parquet scans in the plan vs 1-per-iteration pinned). Driver-side
-      // codebook exchange between iterations is the standard shape for
-      // distributed k-means at any scale.
-      def pinCodebook(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(df.collect().toSeq.asJava, df.schema)
-      }
-      val cents = (1 to 3).foldLeft(seed) { (c, _) =>
-        pinCodebook(e.crossJoin(broadcast(c))
-          .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
-          .withColumn("r", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
-          .filter(col("r") === 1)
-          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cent_id", "pos").agg(avg(col("v").cast("double")).as("m"))
-          .groupBy("cent_id")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-            x => round(x.getField("m"), 6)).as("cv")))
-      }
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val (_, assigned) = ivfModel(s, dir)
       val q = assigned.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
       val sims = broadcast(q).join(assigned, Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("cell"), col("vec_id").as("nbr"),
+          round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
+      sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // ——— IVF ANN with MULTI-PROBE (nprobe = 2) ———
+    // q_knn_ivf's single-probe contract has a recall cliff: a query lands
+    // in exactly one Voronoi cell and true neighbors across the boundary
+    // are unreachable (r5 VERDICT → r6 #3). The standard knob: each query
+    // probes its TOP-2 cells by centroid cosine — same broadcast-codebook
+    // plan shape, one extra candidate fan-out per query, strictly a
+    // superset of the single-probe candidates. Output drops the per-query
+    // `cell` column (a query now has two) and keeps the search contract:
+    // top-3 neighbors over the probed candidate union.
+    "q_knn_ivf_probe2" -> ((s, dir) => {
+      import graft.functions.VectorFns._
+      val (cents, assigned) = ivfModel(s, dir)
+      val qprobe = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .crossJoin(broadcast(cents))
+        .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("r") <= 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("cent_id").as("cell"))
+      val sims = broadcast(qprobe).join(assigned, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nbr"),
           round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
       sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
@@ -1648,6 +1674,45 @@ object SparkEntry {
         .limit(10)),
   )
 
+  /** Per-document CDC chunk signatures — ONE definition for q_chunk_dedup
+    * and q_chunk_dedup_skew: token hashes → 4-gram rolling hash → ≡0 (mod
+    * 16) boundaries → chunk strings → 60-bit sigs. Entirely row-local
+    * higher-order Column algebra (one projection, no shuffle, no UDF).
+    */
+  private def cdcChunkSigs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .withColumn("h", TextFns.cdcHashes(col("a")))
+      .withColumn("cuts", TextFns.cdcCuts(col("a"), col("h")))
+      .select(col("doc_id"),
+        explode(TextFns.cdcChunks(col("a"), col("cuts"))).as("chunk"))
+      .select(col("doc_id"), TextFns.md5Long(col("chunk")).as("sig"))
+  }
+
+  /** Shared body of q_dup_spans / q_dup_spans_skew — per-doc span counts
+    * over [[graft.ops.DupSpans.spans]]; `skewSafe` picks the marking
+    * strategy (window vs aggregate+join), the output contract is identical
+    * and both map to the SAME oracle SQL.
+    */
+  private def dupSpansQuery(s: SparkSession, dir: String,
+                            skewSafe: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    val agg = DupSpans.spans(docs, k = 5, skewSafe = skewSafe)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1L).as("dup_tokens"))
+    docs.select(col("doc_id"), size(col("a")).cast("long").as("tok_cnt"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tok_cnt"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("tok_cnt"), 6)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Verified MinHash-LSH near-dup pairs (da < db, jaccard ≥ 0.9) — ONE
     * definition for `q_neardup_lsh` and the `q_dedup_clusters` keeper
     * assignment (its oracle twin is [[neardupPairsCtes]]).
@@ -1724,6 +1789,65 @@ object SparkEntry {
       |spn AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
       |  FROM isl GROUP BY 1, 2)""".stripMargin
 
+  /** ONE oracle for q_dup_spans AND q_dup_spans_skew — the two registry
+    * entries are physical variants (window vs aggregate+join marking) of
+    * the same operator, so they must share the semantic twin verbatim.
+    */
+  private val dupSpansOracle: String =
+    s"""WITH $dupSpanCtes,
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM spn GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(a) AS BIGINT) AS tok_cnt,
+      |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(a), 6) AS dup_frac
+      |FROM d LEFT JOIN agg USING (doc_id)
+      |ORDER BY 1""".stripMargin
+
+  /** ONE oracle for q_chunk_dedup AND q_chunk_dedup_skew (same
+    * physical-variant-twin rule as [[dupSpansOracle]]). DuckDB lists are
+    * 1-indexed with inclusive slices; range(a,b) is end-exclusive, so b
+    * holds 1-based boundary positions in [4, n-1] — the same cut set as
+    * the Spark filter over sequence(4, n-1).
+    */
+  private val chunkDedupOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |hd AS (SELECT doc_id, a,
+      |  list_transform(a, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) % 1048576) AS h FROM d),
+      |bd AS (SELECT doc_id, a,
+      |  list_filter(range(4, len(a)), i ->
+      |    (h[i-3] + h[i-2]*31 + h[i-1]*961 + h[i]*29791) % 16 = 0) AS b FROM hd),
+      |cd AS (SELECT doc_id, a,
+      |  [CAST(0 AS BIGINT)] || b || [CAST(len(a) AS BIGINT)] AS cuts FROM bd),
+      |ch AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(cuts)),
+      |    c -> array_to_string(a[cuts[c]+1 : cuts[c+1]], ' '))) AS chunk FROM cd),
+      |sg AS (SELECT doc_id, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS sig FROM ch),
+      |sc AS (SELECT sig, count(*) AS n_occ FROM sg GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(CASE WHEN n_occ > 1 THEN 1 END) AS BIGINT) AS dup_chunks
+      |FROM sg JOIN sc USING (sig) GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** ONE oracle for q_dedup_clusters AND q_dedup_clusters_star: the two
+    * registry entries run different component algorithms (O(diameter)
+    * min-label propagation vs O(log n) star contraction) against one
+    * semantic contract — the recursive-CTE transitive closure seeded from
+    * ALL documents (singletons keep themselves).
+    */
+  private lazy val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $neardupPairsCtes,
+       |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src AS doc_id, reach.r FROM reach JOIN edges e ON e.dst = reach.doc_id
+       |)
+       |SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
   private val neardupPairsCtes: String =
     """toks AS (
       |  SELECT DISTINCT doc_id, tok FROM (
@@ -1788,6 +1912,78 @@ object SparkEntry {
        |  SELECT vec_id, b.b AS band_idx, (s >> (b.b * $width)) & $mask AS band_val
        |  FROM sig, (SELECT unnest(range(0, $nBands)) AS b) b)""".stripMargin
   }
+
+  /** Trained IVF codebook + cell assignment — ONE definition for q_knn_ivf
+    * and q_knn_ivf_probe2. Deterministic spherical k-means: seed with the
+    * 16 lowest-id vectors, then 3 Lloyd iterations entirely in DataFrame
+    * ops — assign = argmax of round(cosine, 6) against the broadcast
+    * codebook (one codegen'd dot_product_f per centroid), re-center =
+    * element-wise mean via posexplode with components rounded to 6
+    * decimals so the DuckDB oracle reproduces the codebook bit-for-bit; a
+    * cell that loses all members drops out (both engines agree). At 100 TB
+    * training runs on a sample; the per-iteration shape (broadcast
+    * codebook, one corpus pass) is already the scale path.
+    *
+    * The codebook is PINNED per iteration: a CODEBOOK-sized collect (16
+    * rows × dim doubles — bounded by k, not by data) makes each Lloyd
+    * iteration ONE corpus pass against a literal broadcast codebook.
+    * Without pinning, the lazy lineage re-executes every prior iteration
+    * at each reference (measured: 20 parquet scans in the plan vs
+    * 1-per-iteration pinned). Driver-side codebook exchange between
+    * iterations is the standard shape for distributed k-means at any
+    * scale.
+    *
+    * @return (codebook (cent_id, cv), assigned (vec_id, embedding, cell))
+    */
+  private def ivfModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.functions.VectorFns._
+    val e = Tables.embeddings(s, dir)
+    val seed = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+    def pinCodebook(df: DataFrame): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+    }
+    val cents = (1 to 3).foldLeft(seed) { (c, _) =>
+      pinCodebook(e.crossJoin(broadcast(c))
+        .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("r") === 1)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => round(x.getField("m"), 6)).as("cv")))
+    }
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    (cents, assigned)
+  }
+
+  /** Oracle twin of [[ivfModel]]: the CTE chain from raw embeddings to the
+    * trained codebook (`c3`) and the per-vector cell `assigned`, shared by
+    * the q_knn_ivf and q_knn_ivf_probe2 oracles so the model cannot
+    * desync between the single-probe and multi-probe twins.
+    */
+  private lazy val ivfModelCtes: String =
+    s"""e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS cv FROM e2 WHERE vec_id < 16),
+       |${ivfIter(1)},
+       |${ivfIter(2)},
+       |${ivfIter(3)},
+       |assigned AS (
+       |  SELECT vec_id, emb, cell FROM (
+       |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.emb", "c.cv")}, 6) DESC, c.cent_id) AS r
+       |    FROM e2 e, c3 c)
+       |  WHERE r = 1)""".stripMargin
 
   /** One unrolled Lloyd iteration for the q_knn_ivf oracle: assign every
     * vector to its argmax-rounded-cosine centroid from `c{i-1}`, then
@@ -2181,18 +2377,10 @@ object SparkEntry {
          |SELECT da, db, round(j, 6) AS jaccard FROM ver WHERE j >= 0.9
          |ORDER BY da, db""".stripMargin),
 
-    "q_dedup_clusters" -> (
-      s"""WITH RECURSIVE $neardupPairsCtes,
-         |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
-         |edges AS (SELECT da AS src, db AS dst FROM pairs
-         |          UNION ALL SELECT db, da FROM pairs),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT e.src AS doc_id, reach.r FROM reach JOIN edges e ON e.dst = reach.doc_id
-         |)
-         |SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
-         |ORDER BY doc_id""".stripMargin),
+    "q_dedup_clusters" -> dedupClustersOracle,
+    // algorithm-variant twin: SAME oracle — minLabel and starContract are
+    // two algorithms for one contract (label = component minimum)
+    "q_dedup_clusters_star" -> dedupClustersOracle,
 
     "q_dup_matrix" -> (
       s"""WITH $neardupPairsCtes,
@@ -2325,40 +2513,15 @@ object SparkEntry {
         |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
         |ORDER BY 1""".stripMargin),
 
-    // DuckDB lists are 1-indexed with inclusive slices; range(a,b) is
-    // end-exclusive, so b holds 1-based boundary positions in [4, n-1] —
-    // the same cut set as the Spark filter over sequence(4, n-1).
-    "q_chunk_dedup" -> (
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-        |hd AS (SELECT doc_id, a,
-        |  list_transform(a, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT) % 1048576) AS h FROM d),
-        |bd AS (SELECT doc_id, a,
-        |  list_filter(range(4, len(a)), i ->
-        |    (h[i-3] + h[i-2]*31 + h[i-1]*961 + h[i]*29791) % 16 = 0) AS b FROM hd),
-        |cd AS (SELECT doc_id, a,
-        |  [CAST(0 AS BIGINT)] || b || [CAST(len(a) AS BIGINT)] AS cuts FROM bd),
-        |ch AS (SELECT doc_id,
-        |  unnest(list_transform(range(1, len(cuts)),
-        |    c -> array_to_string(a[cuts[c]+1 : cuts[c+1]], ' '))) AS chunk FROM cd),
-        |sg AS (SELECT doc_id, ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS sig FROM ch),
-        |sc AS (SELECT sig, count(*) AS n_occ FROM sg GROUP BY 1)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(count(CASE WHEN n_occ > 1 THEN 1 END) AS BIGINT) AS dup_chunks
-        |FROM sg JOIN sc USING (sig) GROUP BY 1
-        |ORDER BY 1""".stripMargin),
+    "q_chunk_dedup" -> chunkDedupOracle,
+    // physical-variant twin: SAME oracle — the skew path changes the plan,
+    // not the semantics
+    "q_chunk_dedup_skew" -> chunkDedupOracle,
 
-    // Shingle at 0-based pos i covers tokens a[i+1 : i+5] in DuckDB's
-    // 1-based inclusive slice; islands/span-merge mirrors the Spark window.
-    "q_dup_spans" -> (
-      s"""WITH $dupSpanCtes,
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM spn GROUP BY 1)
-        |SELECT d.doc_id, CAST(len(a) AS BIGINT) AS tok_cnt,
-        |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
-        |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(a), 6) AS dup_frac
-        |FROM d LEFT JOIN agg USING (doc_id)
-        |ORDER BY 1""".stripMargin),
+    "q_dup_spans" -> dupSpansOracle,
+    // physical-variant twin: SAME oracle — the skew path changes the plan,
+    // not the semantics
+    "q_dup_spans_skew" -> dupSpansOracle,
 
     // Cut pass twin: spans via the SHARED dupSpanCtes, token stream
     // rebuilt positionally, covered tokens dropped by NOT EXISTS range
@@ -2832,18 +2995,7 @@ object SparkEntry {
         |FROM d GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     "q_knn_ivf" -> (
-      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |c0 AS (SELECT vec_id AS cent_id, emb AS cv FROM e2 WHERE vec_id < 16),
-        |${ivfIter(1)},
-        |${ivfIter(2)},
-        |${ivfIter(3)},
-        |assigned AS (
-        |  SELECT vec_id, emb, cell FROM (
-        |    SELECT e.vec_id, e.emb, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(${duckCos("e.emb", "c.cv")}, 6) DESC, c.cent_id) AS r
-        |    FROM e2 e, c3 c)
-        |  WHERE r = 1),
+      s"""WITH $ivfModelCtes,
         |sims AS (
         |  SELECT q.vec_id AS qid, q.cell, e.vec_id AS nbr,
         |    round(${duckCos("q.emb", "e.emb")}, 6) AS cos_sim
@@ -2851,6 +3003,28 @@ object SparkEntry {
         |  WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id)
         |SELECT qid, CAST(cell AS BIGINT) AS cell, nbr, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
         |  SELECT qid, cell, nbr, cos_sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
+        |  FROM sims)
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    // Multi-probe twin: the SAME model CTEs (codebook + assignment), the
+    // query side ranks cells by centroid cosine and keeps its top 2.
+    "q_knn_ivf_probe2" -> (
+      s"""WITH $ivfModelCtes,
+        |qprobe AS (
+        |  SELECT vec_id AS qid, emb AS qemb, cent_id AS cell FROM (
+        |    SELECT e.vec_id, e.emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(${duckCos("e.emb", "c.cv")}, 6) DESC, c.cent_id) AS r
+        |    FROM e2 e, c3 c WHERE e.vec_id < 5)
+        |  WHERE r <= 2),
+        |sims AS (
+        |  SELECT q.qid, e.vec_id AS nbr,
+        |    round(${duckCos("q.qemb", "e.emb")}, 6) AS cos_sim
+        |  FROM qprobe q JOIN assigned e ON e.cell = q.cell
+        |  WHERE q.qid <> e.vec_id)
+        |SELECT qid, nbr, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT qid, nbr, cos_sim,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
         |  FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),

@@ -134,6 +134,38 @@ class CorpusStatsSpec extends SparkSpec {
       assert(cut(id) == fp, s"kept_fp mismatch for doc $id") }
   }
 
+  test("skew-safe dup-span marking ≡ window marking, incl. a hot shingle") {
+    import graft.ops.DupSpans
+    def run(docs: org.apache.spark.sql.DataFrame, skewSafe: Boolean) =
+      DupSpans.spans(docs, k = 5, skewSafe = skewSafe)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+    // fixture corpus: the two physical forms must agree row-for-row
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    val base = run(fixture, skewSafe = false)
+    assert(base.nonEmpty)
+    assert(run(fixture, skewSafe = true) == base)
+    // hot-shingle corpus (the regime the skew path exists for): 300 docs
+    // share one 9-token boilerplate block → its 5 interior shingles carry
+    // 300 occurrences each, dwarfing every other sig
+    val boiler = (1 to 9).map(i => s"B$i")
+    val hot = (0L until 300L).map { id =>
+      (id, (boiler ++ synthTokens(8, seed = id + 1000).map(t => s"u${id}_$t"))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    val hotWin = run(hot, skewSafe = false)
+    assert(hotWin.size == 300 && hotWin.forall { case (_, s, e) => s == 0L && e == 8L })
+    assert(run(hot, skewSafe = true) == hotWin)
+    // and the chunk-dedup physical twin agrees with its window form
+    val dir = "/root/testdata/sf0.001"
+    val plain = SparkEntry.queries("q_chunk_dedup")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val skew = SparkEntry.queries("q_chunk_dedup_skew")(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(plain == skew)
+  }
+
   test("dup spans are invariant under input repartitioning") {
     // the dup rule and island merge ride window functions — their own
     // exchanges must make the result independent of the incoming layout

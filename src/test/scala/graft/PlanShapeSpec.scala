@@ -59,6 +59,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p) <= 5, s"dup-spans exchange count regressed: ${exchanges(p)}")
   }
 
+  test("skew-path twins: no sig window, partial-aggregated marking, no cartesian") {
+    // the whole point of the skew variants is that NO window partitions on
+    // the shingle/chunk sig — marking must ride a partial-aggregating
+    // groupBy plus an AQE-plannable join (the only Window left in
+    // q_dup_spans_skew is the per-doc island merge)
+    val p = plan("q_dup_spans_skew")
+    assert(count(p, "CartesianProduct") == 0)
+    // the island merge is 2 Window nodes (lag and running-sum frames);
+    // the plain form adds the sig-marking window on top — the skew form
+    // must carry ONLY the island pair
+    assert(count(p, "Window") == 2,
+      s"skew dup-spans must keep only the island-merge windows:\n$p")
+    assert(count(plan("q_dup_spans"), "Window") == 3)
+    val c = plan("q_chunk_dedup_skew")
+    assert(count(c, "CartesianProduct") == 0)
+    assert(count(c, "Window") == 0,
+      s"skew chunk-dedup must not window at all:\n$c")
+    val probe = plan("q_knn_ivf_probe2")
+    assert(count(probe, "SortMergeJoin") == 0,
+      "probe join must stay broadcast (query set is bounded)")
+  }
+
   test("token count and feature drift stay single-scan partial-aggregating plans") {
     val t = plan("q_token_count")
     assert(aggs(t) == 2, s"token count must be ONE partial+final aggregate pair, got ${aggs(t)}")

@@ -5,8 +5,15 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 
 Mirrors the driver's compare: sort columns by name, sort rows, hash values.
+
+Also harvests per-query DuckDB wall time (min of 2 runs, materialized to a
+DataFrame) into <outDir>/oracle_times.json — the single-node-engine side of
+the engine-to-engine comparison in BASELINE.md. Caveat recorded there: the
+oracle SQL is the SEMANTIC twin (e.g. recursive-CTE closures for the
+component queries), not a hand-tuned DuckDB implementation, so per-query
+times bound DuckDB from above on the algorithmic queries.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -26,6 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails = 0
+oracle_times = {}
 for name, sql in sorted(oracle.items()):
     pq = f"{outdir}/{name}"
     if not glob.glob(f"{pq}/*.parquet"):
@@ -35,7 +43,13 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         print(f"FAIL {name}: read spark output: {e}"); fails += 1; continue
     try:
+        t0 = time.monotonic()
         exp = con.sql(sql).df()
+        t1 = time.monotonic()
+        # second run re-uses the OS page cache both runs share; min-of-2
+        # matches the bench's noise stance (noise only ever adds time)
+        con.sql(sql).df()
+        oracle_times[name] = round(min(t1 - t0, time.monotonic() - t1), 3)
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
     g, e = canon(got), canon(exp)
@@ -56,5 +70,10 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
     print(f"PASS {name} ({len(g)} rows, {len(g.columns)} cols)")
+with open(f"{outdir}/oracle_times.json", "w") as f:
+    json.dump({"sf_dir": sfdir, "unit": "sec", "runs": 2, "pick": "min",
+               "queries": oracle_times}, f, indent=1, sort_keys=True)
+print(f"oracle wall times -> {outdir}/oracle_times.json "
+      f"(total {sum(oracle_times.values()):.1f}s over {len(oracle_times)} queries)")
 print("ALL PASS" if fails == 0 else f"{fails} FAILURES")
 sys.exit(1 if fails else 0)
