@@ -548,6 +548,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— leakage-safe train/val/test split ———
+    // The split assignment a dedup-aware pipeline must use: hashing the
+    // DOC id sends near-duplicates of one document into different splits
+    // (the classic eval-leakage bug — the model "generalizes" to its own
+    // training data); hashing the duplicate-cluster KEEPER sends every
+    // member of a cluster to the SAME split. Deterministic hash-mod
+    // (80/10/10) over the keeper id from the same components pipeline as
+    // q_dedup_clusters — re-runs, resumed shards, and both engines agree
+    // row-for-row.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val pairs = neardupLshPairs(s, dir)
+      val lbl = graft.ops.Components.minLabel(pairs, "da", "db")
+      val h = md5Long(concat_ws("#", lit("split"), col("keeper"))) % 100
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper"))
+        .select(col("doc_id"), col("keeper"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // ——— cross-source duplication matrix ———
     // Corpus governance: which sources duplicate into which — the
     // licensing/contamination question a mixture designer asks before
@@ -1371,6 +1393,41 @@ object SparkEntry {
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nbr"))
       sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
         .orderBy("qid", "rank")
+    }),
+
+    // ——— semantic dedup in embedding space (SemDeDup shape) ———
+    // Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+    // through semantic deduplication"): cluster embeddings with k-means,
+    // then WITHIN each cluster drop items whose cosine to another member
+    // exceeds τ — semantic near-dups that share no tokens (paraphrases,
+    // translations) which MinHash/SimHash cannot see. Keep rule here is
+    // deterministic greedy-by-id: x is a duplicate iff some SAME-CELL
+    // y < x has cos(x,y) ≥ τ (the published method's arbitrary keep order
+    // pinned to ids so both engines agree). Reuses the trained IVF
+    // codebook; within-cell pairs come from pack + ordered double-explode
+    // (a derived-frame self-join would recompute the k-means assignment
+    // on both sides). The per-cell quadratic is the algorithm's published
+    // cost envelope — at scale k grows with the corpus to cap cell sizes,
+    // and the per-iteration/assignment shape is already the scale path.
+    "q_semdedup" -> ((s, dir) => {
+      import graft.functions.VectorFns._
+      val (_, assigned) = ivfModel(s, dir)
+      val packed = assigned
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("m"))
+      val pairs = packed
+        .select(col("cell"), explode(col("m")).as("x"), col("m"))
+        .select(col("cell"), col("x"), explode(col("m")).as("y"))
+        .filter(col("y.vec_id") < col("x.vec_id"))
+        .select(col("cell"), col("x.vec_id").as("vid"),
+          round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cs"))
+      val dupFlags = pairs.groupBy(col("vid"))
+        .agg(max((col("cs") >= 0.35).cast("int")).as("dup"))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dupFlags.withColumnRenamed("vid", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          coalesce(col("dup"), lit(0)).cast("int").as("is_dup"))
+        .orderBy("vec_id")
     }),
 
     // ——— custom typed Aggregator: one-pass exact trimmed mean ———
@@ -2382,6 +2439,27 @@ object SparkEntry {
     // two algorithms for one contract (label = component minimum)
     "q_dedup_clusters_star" -> dedupClustersOracle,
 
+    // Same recursive closure as the clusters oracle, then the hash-mod
+    // split keyed on the cluster KEEPER (hashing 'split#<keeper>' — the
+    // literal prefix decorrelates this hash stream from q_sample_hash's).
+    "q_split_leakage_safe" -> (
+      s"""WITH RECURSIVE $neardupPairsCtes,
+         |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.src AS doc_id, reach.r FROM reach JOIN edges e ON e.dst = reach.doc_id
+         |),
+         |k AS (SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1)
+         |SELECT doc_id, keeper,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, keeper,
+         |  ('0x' || substr(md5('split#' || CAST(keeper AS VARCHAR)), 1, 15))::BIGINT % 100 AS h
+         |  FROM k)
+         |ORDER BY doc_id""".stripMargin),
+
     "q_dup_matrix" -> (
       s"""WITH $neardupPairsCtes,
          |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
@@ -3006,6 +3084,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
         |  FROM sims)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    // SemDeDup twin: the SAME model CTEs; within-cell ordered pairs, a
+    // vector is a duplicate iff a lower-id same-cell member sits within
+    // the cosine threshold.
+    "q_semdedup" -> (
+      s"""WITH $ivfModelCtes,
+        |pr AS (
+        |  SELECT a.vec_id AS vid, round(${duckCos("a.emb", "b.emb")}, 6) AS cs
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND b.vec_id < a.vec_id),
+        |df AS (SELECT vid, max(CASE WHEN cs >= 0.35 THEN 1 ELSE 0 END) AS dup
+        |  FROM pr GROUP BY 1)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+        |  CAST(coalesce(dup, 0) AS INTEGER) AS is_dup
+        |FROM assigned a LEFT JOIN df ON df.vid = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin),
 
     // Multi-probe twin: the SAME model CTEs (codebook + assignment), the
     // query side ranks cells by centroid cosine and keeps its top 2.
