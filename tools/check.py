@@ -75,5 +75,28 @@ with open(f"{outdir}/oracle_times.json", "w") as f:
                "queries": oracle_times}, f, indent=1, sort_keys=True)
 print(f"oracle wall times -> {outdir}/oracle_times.json "
       f"(total {sum(oracle_times.values()):.1f}s over {len(oracle_times)} queries)")
+
+# Engine-to-engine merge: Verify's noop-sink Spark times (written by
+# graft.Verify alongside the dumps) joined with the DuckDB times above.
+# ratio = spark/oracle (>1 → DuckDB faster). Spark carries JVM+planning
+# fixed cost per query at this SF; the honest signal is the ratio TREND
+# with SF, not any single sf0.01 row — see BASELINE.md.
+st_path = f"{outdir}/spark_times.json"
+if os.path.exists(st_path):
+    st = json.load(open(st_path))
+    rows = {n: {"spark_s": st["queries"][n], "oracle_s": oracle_times[n],
+                "ratio": round(st["queries"][n] / max(oracle_times[n], 1e-3), 2)}
+            for n in sorted(set(st["queries"]) & set(oracle_times))}
+    with open(f"{outdir}/engine_compare.json", "w") as f:
+        json.dump({"sf_dir": sfdir, "unit": "sec", "spark_cpus": st.get("cpus"),
+                   "note": "min-of-2 each side; spark=noop sink (no write), "
+                           "oracle=DuckDB materialized df; ratio=spark/oracle",
+                   "queries": rows}, f, indent=1, sort_keys=True)
+    sp, du = (sum(r["spark_s"] for r in rows.values()),
+              sum(r["oracle_s"] for r in rows.values()))
+    med = sorted(r["ratio"] for r in rows.values())[len(rows) // 2] if rows else 0
+    print(f"engine compare -> {outdir}/engine_compare.json "
+          f"(spark {sp:.1f}s vs duckdb {du:.1f}s over {len(rows)} queries; "
+          f"median ratio {med})")
 print("ALL PASS" if fails == 0 else f"{fails} FAILURES")
 sys.exit(1 if fails else 0)
