@@ -487,6 +487,47 @@ object SparkEntry {
     "q_neardup_lsh" -> ((s, dir) =>
       neardupLshPairs(s, dir).orderBy("da", "db")),
 
+    // ——— INCREMENTAL near-dup: slice-only signatures vs the stored table ———
+    // Closes the last full-recompute in the curation stack (VERDICT r5 #7):
+    // when a new slice of documents is appended, near-dup detection should
+    // cost O(slice) signature computation + one band-join against the
+    // PERSISTED signature table — never re-tokenizing the old corpus. The
+    // slice boundary is append-style (doc_id ≥ 80% of the id space,
+    // derived from the data so the query is SF-stable). Plan shape: buckets
+    // whose members are all stored are pruned BEFORE the pair explode (at
+    // 10¹² docs that is ~all of them — the cycle's candidate set is sized
+    // by the slice, not the corpus), and old↔old pairs inside mixed buckets
+    // are dropped (they were already emitted by the cycle that ingested
+    // them). Since da < db and "new" is an id suffix, at-least-one-new ⟺
+    // db ≥ threshold — the same rule the oracle twin applies to the full
+    // pair pipeline. In production the is_new=false signature rows are READ
+    // from [[graft.features.SignatureStore]] (IncrementalSpec drives that
+    // path end-to-end: two upsert cycles, store ≡ direct signatures, cycle
+    // pairs ≡ this query); here both sides are computed so the DuckDB twin
+    // can reproduce the table from the same parquet.
+    "q_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.agg(
+        floor(lit(0.8) * (max(col("doc_id")) + lit(1L))).cast("long").as("__thr"))
+      val sigs = lshBandSigs(docs).join(broadcast(thr))
+        .withColumn("is_new", col("doc_id") >= col("__thr"))
+      val buckets = sigs.groupBy("source", "band", "bkey")
+        .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ds"))
+        .filter(size(col("ds")) > 1 && exists(col("ds"), d => d.getField("is_new")))
+      val cand = buckets
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(filter(col("ds"),
+          d => d.getField("doc_id") > col("a.doc_id"))).as("b"))
+        .filter(col("b.is_new"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      lshVerify(docs, cand)
+        .join(broadcast(thr))
+        .select(col("da"), col("db"), col("jaccard"),
+          (col("da") >= col("__thr")).cast("long").as("new_new"))
+        .orderBy("da", "db")
+    }),
+
     // ——— dedup COMPLETION: keeper assignment via connected components ———
     // Near-dup detection yields pairs; production dedup needs one KEEPER
     // per duplicate cluster (pairs are not transitive-closed: a~b, b~c
@@ -1668,6 +1709,53 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // ——— P3/P4/P5/G2/G4/O2 post-process pipeline, end to end ———
+    // The full DataProcessor second stage (musif/process/processor.py:
+    // 116-140) over a per-(conv, week) feature matrix whose sparsity is
+    // REAL (a role absent from a window leaves its stats null — 3-18% per
+    // column on the fixture at every SF): delete columns by name rule
+    // (P3: tmp_ prefix, _raw suffix), drop >95%-null columns (P5 — catches
+    // the engineered all-null legacy column and nothing else, so the
+    // dynamic column decision is scale-stable and the DuckDB twin can be
+    // static), drop rows with >25% nulls (P4: 9 cols → ≤2 nulls survive:
+    // a missing role keeps its window, a window missing two signal
+    // families is dropped), sum a column group with coalesce-0 (G2), fill
+    // remaining *_mean nulls with 0 (G4), priority-first column order
+    // (O2/O5). Doubles rounded at the END so every post-process stage sees
+    // raw values, same as the reference.
+    "q_postprocess" -> ((s, dir) => {
+      val len = length(col("text")).cast("double")
+      val fm = Tables.turns(s, dir)
+        .groupBy(col("conv_id"), window(col("ts").cast("timestamp"), "7 days").as("w"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          avg(when(col("role") === "user", len)).as("user_len_mean"),
+          avg(when(col("role") === "assistant", len)).as("asst_len_mean"),
+          avg(when(col("role") === "system", len)).as("sys_len_mean"),
+          avg(when(col("tool").isNotNull, col("turn_idx").cast("double"))).as("tool_idx_mean"),
+          sum(when(col("role") === "user", len)).as("user_len_sum"),
+          sum(when(col("role") === "assistant", len)).as("asst_len_sum"),
+          max(len).as("len_peak_raw"),
+          count(when(col("role") === "tool", 1)).as("tmp_tool_rows"))
+        .withColumn("legacy_score", lit(null).cast("double"))
+        .select(col("conv_id"), unix_micros(col("w.start")).as("w_start_us"),
+          col("n_turns"), col("user_len_mean"), col("asst_len_mean"),
+          col("sys_len_mean"), col("tool_idx_mean"), col("user_len_sum"),
+          col("asst_len_sum"), col("len_peak_raw"), col("tmp_tool_rows"),
+          col("legacy_score"))
+      import graft.process.PostProcess
+      val p3 = PostProcess.deleteColumns(fm, prefixes = Seq("tmp_"), suffixes = Seq("_raw"))
+      val p5 = PostProcess.dropSparseColumns(p3, 0.95)
+      val p4 = PostProcess.dropSparseRows(p5, 0.25)
+      val g2 = PostProcess.sumColumnGroup(p4, "len_sum_group", Seq("user_len_sum", "asst_len_sum"))
+      val g4 = PostProcess.fillByPredicate(g2, 0.0, _.endsWith("_mean"))
+      val out = PostProcess.orderColumns(g4, Seq("conv_id", "w_start_us"))
+      out.select(out.columns.map(c =>
+        if (out.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+          round(col(c), 6).as(c) else col(c)): _*)
+        .orderBy("conv_id", "w_start_us")
+    }),
+
     // ——— W7 tie-merge: fuse consecutive same-role turns (utterances) ———
     "q_tie_merge" -> ((s, dir) => {
       val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -1789,21 +1877,38 @@ object SparkEntry {
     *    re-tokenizing the corpus per side.
     */
   private[graft] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFns._
     val docs = Tables.documents(s, dir)
-    val mh = minhashRows(docs, "doc_id", "text", 8)
-    val bands = mh.withColumn("band", (col("seed") / 4).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5Long(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-        x => x.getField("minhash").cast("string")), ",")).as("bkey"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    val buckets = bands.groupBy("source", "band", "bkey")
+    val buckets = lshBandSigs(docs).groupBy("source", "band", "bkey")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
     val cand = buckets
       .select(explode(col("ds")).as("da"), col("ds"))
       .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
       .distinct()
+    lshVerify(docs, cand)
+  }
+
+  /** Per-(doc, band) LSH signature rows `(doc_id, band, bkey, source)` —
+    * the banding stage of [[neardupLshPairs]], factored so the incremental
+    * path can compute it for a NEW SLICE only and persist it
+    * ([[graft.features.SignatureStore]], VERDICT r5 #7).
+    */
+  private[graft] def lshBandSigs(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns._
+    val mh = minhashRows(docs, "doc_id", "text", 8)
+    mh.withColumn("band", (col("seed") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5Long(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+        x => x.getField("minhash").cast("string")), ",")).as("bkey"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+  }
+
+  /** Exact-Jaccard verify of candidate pairs (da < db) → pairs with
+    * jaccard ≥ 0.9. Resolves BOTH pair sides in one documents scan (pair
+    * list exploded to (doc_id, pair) and regrouped), never re-tokenizing
+    * the corpus per side.
+    */
+  private[graft] def lshVerify(docs: DataFrame, cand: DataFrame): DataFrame = {
     val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
     val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
       .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
@@ -2432,6 +2537,17 @@ object SparkEntry {
     "q_neardup_lsh" -> (
       s"""WITH $neardupPairsCtes
          |SELECT da, db, round(j, 6) AS jaccard FROM ver WHERE j >= 0.9
+         |ORDER BY da, db""".stripMargin),
+
+    // the incremental cycle's output is the full pair pipeline restricted
+    // to pairs involving the new slice: da < db and "new" = an id suffix,
+    // so at-least-one-new ⟺ db ≥ threshold (same rule as the Spark side)
+    "q_incremental_neardup" -> (
+      s"""WITH $neardupPairsCtes,
+         |thr AS (SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT) AS t FROM documents)
+         |SELECT da, db, round(j, 6) AS jaccard,
+         |  CAST(CASE WHEN da >= thr.t THEN 1 ELSE 0 END AS BIGINT) AS new_new
+         |FROM ver, thr WHERE j >= 0.9 AND db >= thr.t
          |ORDER BY da, db""".stripMargin),
 
     "q_dedup_clusters" -> dedupClustersOracle,
@@ -3348,6 +3464,42 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN tool = 'tool_2' THEN 1 ELSE 0 END) AS BIGINT) AS "Score_HistTool2",
         |  CAST(sum(CASE WHEN tool = 'tool_3' THEN 1 ELSE 0 END) AS BIGINT) AS "Score_HistTool3"
         |FROM turns GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    // the static twin of the dynamic post-process pipeline: the P3 deletes
+    // (tmp_/_raw) and the P5 column drop (only legacy_score, 100% null at
+    // any SF, crosses the 0.95 threshold) are baked into the select list;
+    // P4's row rule, G2's coalesce-0 group sum, and G4's mean-fill are
+    // literal expressions. 9 * 0.25 = the Spark side's
+    // df.columns.length * maxNullFraction with 9 surviving columns.
+    "q_postprocess" -> Oracle.withTurnsCtes(
+      """fm AS (
+        |  SELECT conv_id,
+        |         (epoch_us(ts) // 604800000000) * 604800000000 AS w_start_us,
+        |         CAST(count(*) AS BIGINT) AS n_turns,
+        |         avg(CASE WHEN role = 'user' THEN CAST(length(text) AS DOUBLE) END) AS user_len_mean,
+        |         avg(CASE WHEN role = 'assistant' THEN CAST(length(text) AS DOUBLE) END) AS asst_len_mean,
+        |         avg(CASE WHEN role = 'system' THEN CAST(length(text) AS DOUBLE) END) AS sys_len_mean,
+        |         avg(CASE WHEN tool IS NOT NULL THEN CAST(turn_idx AS DOUBLE) END) AS tool_idx_mean,
+        |         sum(CASE WHEN role = 'user' THEN CAST(length(text) AS DOUBLE) END) AS user_len_sum,
+        |         sum(CASE WHEN role = 'assistant' THEN CAST(length(text) AS DOUBLE) END) AS asst_len_sum
+        |  FROM turns GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT * FROM fm
+        |  WHERE (CASE WHEN user_len_mean IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN asst_len_mean IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN sys_len_mean IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN tool_idx_mean IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN user_len_sum IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN asst_len_sum IS NULL THEN 1 ELSE 0 END) <= 9 * 0.25)
+        |SELECT conv_id, w_start_us, n_turns,
+        |       round(coalesce(user_len_mean, 0), 6) AS user_len_mean,
+        |       round(coalesce(asst_len_mean, 0), 6) AS asst_len_mean,
+        |       round(coalesce(sys_len_mean, 0), 6) AS sys_len_mean,
+        |       round(coalesce(tool_idx_mean, 0), 6) AS tool_idx_mean,
+        |       round(user_len_sum, 6) AS user_len_sum,
+        |       round(asst_len_sum, 6) AS asst_len_sum,
+        |       round(coalesce(user_len_sum, 0) + coalesce(asst_len_sum, 0), 6) AS len_sum_group
+        |FROM kept ORDER BY conv_id, w_start_us""".stripMargin),
 
     "q_histogram_map_share" -> Oracle.withTurnsCtes(
       """c AS (SELECT conv_id, role AS role_key, count(*) AS n FROM turns GROUP BY 1, 2)

@@ -286,15 +286,19 @@ object Incremental {
   * end-to-end re-run contract as Snapshot's shard manifest). Generations
   * older than the previous one are dropped after the flip.
   */
-object IncrementalStore {
+/** Shared generation-store mechanics for [[IncrementalStore]] and
+  * [[SignatureStore]]: the `gen-K/` parquet + atomic `_CURRENT` pointer +
+  * slice-fingerprint no-op protocol, factored so the two stores cannot
+  * drift on crash/replay semantics.
+  */
+private[features] object GenStore {
   import java.nio.file.{Files, Paths, StandardCopyOption}
-  import org.apache.spark.sql.SparkSession
 
   /** `_CURRENT` holds `K` or `K <sliceId>` — the generation number plus the
     * fingerprint of the slice that produced it (older pointer files without
     * the id still parse).
     */
-  private def currentGen(dir: String): Option[(Int, Option[String])] = {
+  def currentGen(dir: String): Option[(Int, Option[String])] = {
     val p = Paths.get(dir, "_CURRENT")
     if (!Files.exists(p)) None
     else Files.readString(p).trim.split("\\s+").toSeq match {
@@ -304,17 +308,43 @@ object IncrementalStore {
     }
   }
 
-  /** Deterministic content fingerprint of a slice's partials: row count +
-    * XOR of per-row hashes (order-independent over the per-conv_id-distinct
-    * rows, overflow-free under ANSI mode; the map column's sorted entries
-    * make `to_json` stable). Identifies "the same slice again" regardless
-    * of partitioning or row order.
+  /** Deterministic content fingerprint of a slice frame: row count + XOR of
+    * per-row hashes (order-independent over distinct rows, overflow-free
+    * under ANSI mode; map columns must carry sorted entries so `to_json` is
+    * stable). Identifies "the same slice again" regardless of partitioning
+    * or row order.
     */
-  private def sliceId(p: DataFrame): String = {
+  def sliceId(p: DataFrame): String = {
     val row = p.select(xxhash64(to_json(struct(p.columns.map(col): _*))).as("__h"))
       .agg(count(lit(1)), expr("bit_xor(__h)")).head
     s"${row.getLong(0)}x${if (row.isNullAt(1)) 0L else row.getLong(1)}"
   }
+
+  /** Write `merged` as gen `next`, flip the pointer atomically, drop
+    * generations older than the previous one (time-travel by one cycle).
+    */
+  def commit(dir: String, merged: DataFrame, next: Int, sid: String): Unit = {
+    merged.write.mode("overwrite").parquet(s"$dir/gen-$next")
+    val tmp = Paths.get(dir, "_CURRENT.tmp")
+    Files.writeString(tmp, s"$next $sid")
+    Files.move(tmp, Paths.get(dir, "_CURRENT"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    (0 until next - 1).foreach { g =>
+      val old = Paths.get(dir, s"gen-$g")
+      if (Files.exists(old)) {
+        val stream = Files.walk(old)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally stream.close()
+      }
+    }
+  }
+}
+
+object IncrementalStore {
+  import java.nio.file.{Files, Paths}
+  import org.apache.spark.sql.SparkSession
+  import GenStore.{currentGen, sliceId}
 
   /** Merge one appended slice into the store; returns the new partials.
     * Re-running a cycle is safe on BOTH sides of the pointer flip: a crash
@@ -357,22 +387,7 @@ object IncrementalStore {
       case None => sliceP
     }
     val next = cur.map(_._1 + 1).getOrElse(0)
-    merged.write.mode("overwrite").parquet(s"$dir/gen-$next")
-    val tmp = Paths.get(dir, "_CURRENT.tmp")
-    Files.writeString(tmp, s"$next $sid")
-    Files.move(tmp, Paths.get(dir, "_CURRENT"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    // retention: keep current + previous (time-travel by one cycle, like a
-    // short Iceberg snapshot-expiry window)
-    (0 until next - 1).foreach { g =>
-      val old = Paths.get(dir, s"gen-$g")
-      if (Files.exists(old)) {
-        val stream = Files.walk(old)
-        try stream.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-        finally stream.close()
-      }
-    }
+    GenStore.commit(dir, merged, next, sid)
     spark.read.parquet(s"$dir/gen-$next")
   }
 
@@ -380,6 +395,63 @@ object IncrementalStore {
   def features(spark: SparkSession, dir: String): DataFrame =
     currentGen(dir) match {
       case Some((g, _)) => Incremental.finalize(spark.read.parquet(s"$dir/gen-$g"))
+      case None => throw new IllegalStateException(s"no generations in $dir")
+    }
+}
+
+/** Durable per-document LSH signature store — the near-dup companion of
+  * [[IncrementalStore]] (VERDICT r5 #7: "the last full-recompute in the
+  * curation stack"). Rows are `SparkEntry.lshBandSigs` output
+  * `(doc_id, band, bkey, source)`: IMMUTABLE per document, so the merge is
+  * an append (union + per-(doc, band) dedup guards a re-sent doc) and an
+  * upsert cycle costs O(new slice) signature computation — old documents
+  * are never re-tokenized. The incremental near-dup cycle band-joins the
+  * new slice's signatures against this table (`q_incremental_neardup` pins
+  * the join shape against the DuckDB twin; IncrementalSpec drives the
+  * store path end-to-end: two cycles ≡ direct signatures, replay no-op).
+  *
+  * Same crash/replay contract as IncrementalStore (shared [[GenStore]]):
+  * atomic pointer flip, fingerprint no-op on re-run, current+previous
+  * retention. At 100 TB the gen rewrite becomes an Iceberg partition
+  * append — signatures are append-only, so no generation merge logic is
+  * ever needed beyond the dedup guard.
+  */
+object SignatureStore {
+  import org.apache.spark.sql.SparkSession
+  import GenStore.{currentGen, sliceId}
+
+  /** Append one slice's signature rows; returns the new stored table.
+    * Replay-safe twice over: the fingerprint no-op catches an identical
+    * re-run (mix `epochId` in when the caller has one — same caveat as
+    * IncrementalStore.upsert), and the per-(doc_id, band) dedup makes even
+    * a forced double-merge idempotent on content.
+    */
+  def upsert(spark: SparkSession, dir: String, newSigs: DataFrame,
+             epochId: Option[Long] = None): DataFrame = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val sliceP = newSigs.localCheckpoint()
+    val sid = epochId.fold(sliceId(sliceP))(e => s"e$e-${sliceId(sliceP)}")
+    val cur = currentGen(dir)
+    cur match {
+      case Some((g, Some(prevSid))) if prevSid == sid =>
+        System.err.println(s"[sigstore] slice $sid already merged as gen-$g — no-op re-run")
+        return spark.read.parquet(s"$dir/gen-$g")
+      case _ => ()
+    }
+    val merged = cur match {
+      case Some((g, _)) => spark.read.parquet(s"$dir/gen-$g")
+        .unionByName(sliceP).dropDuplicates("doc_id", "band")
+      case None => sliceP
+    }
+    val next = cur.map(_._1 + 1).getOrElse(0)
+    GenStore.commit(dir, merged, next, sid)
+    spark.read.parquet(s"$dir/gen-$next")
+  }
+
+  /** Current stored signature table. */
+  def sigs(spark: SparkSession, dir: String): DataFrame =
+    currentGen(dir) match {
+      case Some((g, _)) => spark.read.parquet(s"$dir/gen-$g")
       case None => throw new IllegalStateException(s"no generations in $dir")
     }
 }

@@ -228,4 +228,55 @@ class IncrementalSpec extends SparkSpec {
       Incremental.partials(allNull), Incremental.partials(allNull.limit(0))))
     assert(z.select("len_mean").as[Option[Double]].head().isEmpty)
   }
+
+  test("SignatureStore: two upsert cycles equal direct signatures; cycle pairs equal the registry query") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val thr = docs.agg(floor(lit(0.8) * (max(col("doc_id")) + lit(1L))))
+      .head.getLong(0)
+    val stored = docs.filter(col("doc_id") < thr)
+    val fresh = docs.filter(col("doc_id") >= thr)
+    val store = Files.createTempDirectory("sig_store").toString
+    // cycle 1 ingests the historical corpus; cycle 2 computes signatures
+    // for the NEW SLICE ONLY (the incremental claim: old docs are never
+    // re-tokenized — SparkEntry.lshBandSigs(fresh) touches fresh alone)
+    graft.features.SignatureStore.upsert(spark, store,
+      SparkEntry.lshBandSigs(stored), epochId = Some(1L))
+    graft.features.SignatureStore.upsert(spark, store,
+      SparkEntry.lshBandSigs(fresh), epochId = Some(2L))
+    def rows(df: DataFrame) = df.orderBy("doc_id", "band")
+      .collect().map(_.toString).toSeq
+    val direct = SparkEntry.lshBandSigs(docs)
+    assert(rows(graft.features.SignatureStore.sigs(spark, store)) == rows(direct),
+      "stored signatures after two cycles must equal the direct corpus-wide signatures")
+    // replaying cycle 2 (same epoch) is a detected no-op
+    val gens = new java.io.File(store).list().filter(_.startsWith("gen-")).sorted.toSeq
+    graft.features.SignatureStore.upsert(spark, store,
+      SparkEntry.lshBandSigs(fresh), epochId = Some(2L))
+    val gens2 = new java.io.File(store).list().filter(_.startsWith("gen-")).sorted.toSeq
+    assert(gens2 == gens, s"replay advanced the store: $gens2")
+    // the incremental cycle's pair output: new-slice signatures band-joined
+    // against the STORED table (bucket-group over the union, buckets with
+    // no new member pruned, old-old pairs dropped) — must equal the
+    // q_incremental_neardup registry result, which computes both sides
+    val all = graft.features.SignatureStore.sigs(spark, store)
+      .withColumn("is_new", col("doc_id") >= thr)
+    val buckets = all.groupBy("source", "band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ds"))
+      .filter(size(col("ds")) > 1 && exists(col("ds"), d => d.getField("is_new")))
+    val cand = buckets
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(filter(col("ds"),
+        d => d.getField("doc_id") > col("a.doc_id"))).as("b"))
+      .filter(col("b.is_new"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val cyclePairs = SparkEntry.lshVerify(docs, cand)
+      .withColumn("new_new", (col("da") >= thr).cast("long"))
+    val registry = SparkEntry.queries("q_incremental_neardup")(spark, dir)
+    def pairRows(df: DataFrame) = df.orderBy("da", "db")
+      .collect().map(_.toString).toSeq
+    assert(pairRows(cyclePairs) == pairRows(registry),
+      "store-driven incremental cycle must emit exactly the registry query's pairs")
+  }
 }

@@ -27,7 +27,8 @@ class PlanShapeSpec extends SparkSpec {
     for (n <- Seq("q_feature_matrix", "q_feature_matrix_windowed_full",
         "q_neardup_lsh", "q_simhash_neardup", "q_neardup_cosine",
         "q_knn_lsh", "q_knn_brute", "q_asof_exec", "q_merge_precedent",
-        "q_dup_spans_cut", "q_dup_matrix")) {
+        "q_dup_spans_cut", "q_dup_matrix", "q_incremental_neardup",
+        "q_postprocess")) {
       val p = plan(n)
       assert(count(p, "CartesianProduct") == 0, s"$n plans a cartesian product")
       if (n != "q_merge_precedent") // full-outer variant merge IS a legitimate SMJ
