@@ -1318,14 +1318,31 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
+      // revenue accumulates in EXACT integer ten-thousandths (price is a
+      // 2-decimal currency, discount a 2-decimal fraction → the product is
+      // a 4-decimal value; ≤10⁷ cents × ≤100 × ~10⁹ rows stays inside
+      // BIGINT): a double sum is accumulation-ORDER-dependent, and at sf0.1
+      // Spark's partial-agg order vs DuckDB's sequential order differed by
+      // one ULP on a 1.2e9 total, flipping the rounded cent. The half-up
+      // round to cents happens in INTEGER arithmetic too ((tt+50) div 100):
+      // a total landing on an exact .5-cent midpoint is a tie that
+      // float round() breaks differently per engine (Spark rounds the
+      // shortest decimal repr, DuckDB the binary value — observed one cent
+      // apart at sf0.1). Only the final exact-integer → double division is
+      // floating point, and it is bit-identical in any engine.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_lines"),
           countDistinct(col("o_orderkey")).as("n_orders"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("__rev_tt"),
           round(avg(col("l_quantity")), 4).as("avg_qty"))
+        .withColumn("revenue",
+          expr("(__rev_tt + 50) div 100").cast("double") / 100.0)
+        .select(col("c_mktsegment"), col("o_orderpriority"), col("n_lines"),
+          col("n_orders"), col("revenue"), col("avg_qty"))
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
@@ -1598,11 +1615,17 @@ object SparkEntry {
     // (process/utils.py:44-225 shape).
     "q_merge_precedent" -> ((s, dir) => {
       val t = Tables.turns(s, dir)
+      // len_mean is NOT pre-rounded: avg of integer lengths is an exact
+      // integer sum → one IEEE division, bit-identical in both engines —
+      // while rounding each variant to 6 digits first MANUFACTURES exact
+      // decimal midpoints whose (a+b)/2 sits on a .xxxxxx5 tie that the two
+      // engines' round() can break differently (observed at sf0.1:
+      // 21.0278595 → 21.027859 vs 21.02786). Round once, at the end.
       def variant(role: String) = t.filter(col("role") === role)
         .groupBy("conv_id").agg(
           max(length(col("text"))).cast("long").as("len_max"),
           min(length(col("text"))).cast("long").as("len_min"),
-          round(avg(length(col("text"))), 6).as("len_mean"),
+          avg(length(col("text"))).as("len_mean"),
           count(lit(1)).as("n_turns"),
           first(lit(role)).as("variant_label"))
       val merged = graft.process.PostProcess.mergeWithPrecedent(
@@ -3010,7 +3033,9 @@ object SparkEntry {
       """SELECT c.c_mktsegment, o.o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  CAST((sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) *
+        |        (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) + 50) // 100
+        |       AS DOUBLE) / 100.0 AS revenue,
         |  round(avg(l.l_quantity), 4) AS avg_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3328,12 +3353,12 @@ object SparkEntry {
     "q_merge_precedent" -> Oracle.withTurnsCtes(
       """a AS (
         |  SELECT conv_id, max(length(text)) AS len_max, min(length(text)) AS len_min,
-        |         round(avg(length(text)), 6) AS len_mean, count(*) AS n_turns,
+        |         avg(length(text)) AS len_mean, count(*) AS n_turns,
         |         'user' AS variant_label
         |  FROM turns WHERE role = 'user' GROUP BY conv_id),
         |b AS (
         |  SELECT conv_id, max(length(text)) AS len_max, min(length(text)) AS len_min,
-        |         round(avg(length(text)), 6) AS len_mean, count(*) AS n_turns,
+        |         avg(length(text)) AS len_mean, count(*) AS n_turns,
         |         'assistant' AS variant_label
         |  FROM turns WHERE role = 'assistant' GROUP BY conv_id),
         |m AS (
