@@ -242,6 +242,66 @@ object StreamFeatures {
       }.toDF()
   }
 
+  /** Streaming incremental near-dup: each micro-batch of NEW documents is
+    * MinHash-signed once ([[graft.SparkEntry.lshBandSigs]] over the slice
+    * alone — old documents are never re-tokenized), band-joined against the
+    * durable [[graft.features.SignatureStore]] plus its own signatures
+    * (old↔new AND new↔new candidates in one join), exact-Jaccard-verified
+    * against the corpus lookup, and appended to the store. Verified pairs
+    * `(da, db, jaccard, batch_id)` append to `outDir` as parquet.
+    *
+    * `corpus` is the batch-readable document lake (doc_id, text, …); the
+    * verify lookup is corpus ∪ current slice, so a pair can verify before
+    * the slice lands in the lake. At web scale the stored-signature side is
+    * an Iceberg table bucketed on `bkey`, so the band-join prunes to
+    * matching buckets and the per-cycle cost is O(slice) signatures plus a
+    * candidate-proportional join — never a corpus-wide recompute.
+    *
+    * Delivery contract: AT-LEAST-ONCE on the pair output (a foreachBatch
+    * replay re-emits its batch's pairs; downstream dedups on (da, db)),
+    * EXACTLY-ONCE on the store (upsert is epoch-fingerprint idempotent, so
+    * the replay's store append no-ops). The store upsert runs AFTER the
+    * pair write: if the job dies between them, the replay recomputes the
+    * same candidates — the store not yet containing the slice's own
+    * signatures is harmless because the join's right side is stored ∪ new.
+    */
+  def neardupIncremental(docs: DataFrame, corpus: DataFrame, storeDir: String,
+                         outDir: String, checkpointDir: String) =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // one signature computation per slice, reused by the join AND the
+          // store append (localCheckpoint cuts the streaming-source lineage,
+          // which a second action could not re-read)
+          val slice = batch.toDF().localCheckpoint()
+          val newSigs = graft.SparkEntry.lshBandSigs(slice).localCheckpoint()
+          val stored = scala.util.Try(
+            graft.features.SignatureStore.sigs(s, storeDir)).toOption
+          val all = stored.fold(newSigs)(_.unionByName(newSigs))
+          val cand = newSigs.as("n").join(all.as("o"),
+              col("n.source") === col("o.source") &&
+                col("n.band") === col("o.band") &&
+                col("n.bkey") === col("o.bkey") &&
+                col("n.doc_id") =!= col("o.doc_id"))
+            .select(least(col("n.doc_id"), col("o.doc_id")).as("da"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("db"))
+            .distinct()
+          val lookup = corpus.select(col("doc_id"), col("text"))
+            .unionByName(slice.select(col("doc_id"), col("text")))
+            .dropDuplicates("doc_id")
+          graft.SparkEntry.lshVerify(lookup, cand)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+          graft.features.SignatureStore.upsert(s, storeDir, newSigs,
+            epochId = Some(batchId))
+          ()
+        }
+      }
+      .start()
+
   def incrementalUpsert(turns: DataFrame, storeDir: String,
                         checkpointDir: String,
                         gapSeconds: Long = graft.SparkEntry.SessionGapSeconds) =

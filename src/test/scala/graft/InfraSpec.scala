@@ -334,6 +334,46 @@ class InfraSpec extends SparkSpec {
     assert(gens3 != gens2, "identical-content NEW epoch was dropped as a replay")
   }
 
+  test("streaming incremental near-dup: micro-batch cycles equal the corpus-wide pair pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val thr = docs.agg(floor(lit(0.8) * (max(col("doc_id")) + lit(1L))))
+      .head.getLong(0)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    val store = Files.createTempDirectory("nd_stream_store").toString
+    val out = Files.createTempDirectory("nd_stream_out").toString + "/pairs"
+    val ckpt = Files.createTempDirectory("nd_stream_ckpt").toString
+    val q = StreamFeatures.neardupIncremental(stream, docs, store, out, ckpt)
+    // batch 1 = historical corpus, batch 2 = the new slice (same split as
+    // q_incremental_neardup / the SignatureStore batch spec)
+    mem.addData(tuples(docs.filter(col("doc_id") < thr)): _*)
+    q.processAllAvailable()
+    mem.addData(tuples(docs.filter(col("doc_id") >= thr)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.read.parquet(out)
+    def pairRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("da", "db", "jaccard").orderBy("da", "db")
+      .collect().map(_.toString).toSeq
+    // every doc arrives as "new" in some batch, so the union of the two
+    // cycles' pairs is exactly the corpus-wide batch pipeline's pairs
+    assert(pairRows(emitted) == pairRows(SparkEntry.neardupLshPairs(spark, dir)),
+      "streamed cycles must union to the batch pair pipeline")
+    // batch 2's pairs all involve a new doc (old-old was settled in cycle 1)
+    val late = emitted.filter(col("batch_id") === 1L)
+    assert(late.count() > 0, "fixture must exercise the second cycle")
+    assert(late.filter(col("db") < thr && col("da") < thr).count() == 0,
+      "cycle 2 re-emitted an old-old pair")
+    // and the store now holds the full corpus signatures
+    val sigs = graft.features.SignatureStore.sigs(spark, store)
+    assert(sigs.count() == SparkEntry.lshBandSigs(docs).count())
+  }
+
   test("multimodal: batched stub decode preserves ids, deterministic sigs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.fromDocuments(docs)
