@@ -992,6 +992,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— quality-ranked budget selection ———
+    // The step after q_mix_budget's RATE sampling when the pipeline wants
+    // the BEST documents under each source's token budget rather than a
+    // uniform sample: rank each source's docs by quality (deterministic
+    // doc_id tiebreak on the 6-dp-rounded score, so both engines order
+    // identical doubles identically), take the ranked PREFIX whose running
+    // token sum fits the budget (40% of the source's tokens, computed in
+    // exact integer arithmetic). One groupBy for budgets (broadcast — it is
+    // sources-sized) + one per-source window with a running sum: the same
+    // per-group-sort shape as q_gap_quantiles, and the same documented
+    // scale swap — at 10¹²-doc scale the exact rank prefix becomes an
+    // approx-quantile quality CUTOFF (select q ≥ cutoff chosen so expected
+    // tokens ≈ budget), identical plan minus the window sort. Selection is
+    // prefix-of-ranked-list, not first-fit: a doc that overflows the budget
+    // ends its source's intake (deterministic and engine-portable, where
+    // first-fit backtracking is neither).
+    "q_mix_select" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok_cnt"),
+        round(TextFns.qualityScore(col("text")), 6).as("q"))
+      val budgets = d.groupBy(col("source"))
+        .agg(expr("(sum(tok_cnt) * 2) div 5").as("budget"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(budgets), Seq("source"))
+        .withColumn("cum_toks", sum(col("tok_cnt")).over(w))
+        .filter(col("cum_toks") <= col("budget"))
+        .select(col("doc_id"), col("source"), col("tok_cnt"), col("q"),
+          col("cum_toks"))
+        .orderBy("source", "doc_id")
+    }),
+
     // ——— term / pattern redaction ———
     // The PII-scrubbing shape: a word-boundary alternation built from a
     // redaction dictionary plus a digit-pattern class, applied with
@@ -2837,6 +2872,23 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.tok_cnt FROM d JOIN thr USING (source)
         |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < thr
         |ORDER BY doc_id""".stripMargin),
+
+    "q_mix_select" -> (
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt,
+        |  round(ln(1.0 + len(string_split(text, ' '))) *
+        |        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 6) AS q
+        |  FROM documents),
+        |b AS (SELECT source, (CAST(sum(tok_cnt) AS BIGINT) * 2) // 5 AS budget
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT d.*, b.budget,
+        |  sum(tok_cnt) OVER (PARTITION BY d.source ORDER BY q DESC, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+        |  FROM d JOIN b USING (source))
+        |SELECT doc_id, source, tok_cnt, q, CAST(cum_toks AS BIGINT) AS cum_toks
+        |FROM r WHERE cum_toks <= budget ORDER BY source, doc_id""".stripMargin),
 
     // Both regex dialects (Java / RE2) agree on \b, \d, {m} counts and
     // alternation; DuckDB needs the explicit 'g' flag Spark applies by

@@ -172,4 +172,12 @@ class PlanShapeSpec extends SparkSpec {
       s"packing must shuffle exactly once (the shard-stream exchange):\n$p")
     assert(aggs(p) == 0, "packing is a scan, not an aggregation")
   }
+
+  test("quality-ranked budget selection: broadcast budgets, one per-source window sort") {
+    val p = plan("q_mix_select")
+    assert(count(p, "BroadcastHashJoin") == 1,
+      s"sources-sized budget frame must broadcast:\n$p")
+    assert(count(p, "SortMergeJoin|CartesianProduct") == 0)
+    assert(count(p, "Window") == 1, "exactly one running-sum window")
+  }
 }
