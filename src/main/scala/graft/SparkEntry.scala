@@ -651,6 +651,33 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // ——— exact-k deterministic stratified sample ———
+    // q_sample_hash's rate form yields EXPECTED-size samples; eval subsets
+    // and ablation slices need EXACT size. Rank each stratum's docs by the
+    // 60-bit key hash (a uniform, engine-portable permutation of the
+    // stratum — 8 bytes of sort key, nothing from the payload) and keep the
+    // k smallest: exactly min(k, |stratum|) rows per stratum, identical at
+    // any parallelism / re-run / engine, and consistent under corpus
+    // APPEND (a doc's rank only ever grows as new docs hash below it, so
+    // consecutive samples overlap maximally — the property reservoir
+    // sampling has and random-split does not). Per-stratum sort on an
+    // 8-byte key: the same per-group-sort shape as q_gap_quantiles; at
+    // 10¹²-doc scale swap the full sort for a two-pass hash-threshold
+    // (sample rate ≈ k/|stratum| then exact top-k inside the ~k-sized
+    // survivor set) — same contract, bounded shuffle.
+    "q_sample_topk" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("__h").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5Long(col("doc_id").cast("string")).as("__h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 25)
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+        .orderBy("source", "rk")
+    }),
+
     // ——— greedy sequence packing (training-batch assembly) ———
     // Pack documents into fixed-capacity token bins — the op that turns a
     // curated corpus into training sequences. Greedy packing is a
@@ -2684,6 +2711,16 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(conv_id || '#' || CAST(turn_idx AS VARCHAR)), 1, 15))::BIGINT % 100
         |      < CASE WHEN role = 'tool' THEN 100 WHEN role = 'user' THEN 20 ELSE 5 END
         |ORDER BY conv_id, turn_idx""".stripMargin),
+
+    "q_sample_topk" -> (
+      """WITH h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 25 ORDER BY source, rk""".stripMargin),
 
     // The recursive CTE walks each (source, shard) stream row by row —
     // the identical greedy recurrence to ops.Packing, implemented the

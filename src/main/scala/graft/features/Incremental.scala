@@ -266,6 +266,37 @@ object Incremental {
       .withColumn("len_kurt", round(col("len_kurt_raw"), 6))
       .drop("len_mean_raw", "len_std_raw", "len_skew_raw", "len_kurt_raw")
   }
+
+  /** PSI drift between two partials generations, read off a mergeable
+    * histogram family (`gap_hist` / `tool_hist`) — the QA gate that runs
+    * off the STORE, not the corpus: because the histogram maps merge
+    * exactly, the corpus-level distribution of each generation is one
+    * explode+sum over its partials table (|convs| rows, not |turns|), so
+    * a new upsert cycle's drift check costs O(generation table) with ZERO
+    * corpus rescan. Laplace-smoothed over the union support (same
+    * smoothing shape as the snapshot-vs-snapshot `q_feature_drift`);
+    * support keys absent on one side count 0 there. Returns one row
+    * `(hist, n_bins, psi)`, psi rounded to 6 like every exported double.
+    */
+  def generationDrift(prev: DataFrame, cur: DataFrame,
+                      histCol: String = "gap_hist"): DataFrame = {
+    def corpus(p: DataFrame, cnt: String): DataFrame = p
+      .select(explode(col(histCol)).as(Seq("k", "__n")))
+      .groupBy(col("k")).agg(sum(col("__n")).as(cnt))
+    val joined = corpus(prev, "ca").join(corpus(cur, "cb"), Seq("k"), "full")
+      .select(col("k"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val g = joined.agg(count(lit(1)).as("nb"),
+      sum(col("ca")).as("tota"), sum(col("cb")).as("totb"))
+    joined.crossJoin(g) // g is one row — broadcast by AQE
+      .select(col("k"),
+        ((col("ca") + 1).cast("double") / (col("tota") + col("nb")).cast("double")).as("pa"),
+        ((col("cb") + 1).cast("double") / (col("totb") + col("nb")).cast("double")).as("pb"),
+        col("nb"))
+      .agg(first(col("nb")).as("n_bins"),
+        round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6).as("psi"))
+      .select(lit(histCol).as("hist"), col("n_bins"), col("psi"))
+  }
 }
 
 /** Durable generation store for [[Incremental]] partials — the sandbox
@@ -395,6 +426,24 @@ object IncrementalStore {
   def features(spark: SparkSession, dir: String): DataFrame =
     currentGen(dir) match {
       case Some((g, _)) => Incremental.finalize(spark.read.parquet(s"$dir/gen-$g"))
+      case None => throw new IllegalStateException(s"no generations in $dir")
+    }
+
+  /** PSI drift between the store's previous and current generations (the
+    * one-cycle retention window keeps exactly these two) — "did the last
+    * upsert shift the corpus distribution?" as a pure store read, no
+    * corpus rescan. Requires ≥ 2 generations and the histogram family
+    * present in both.
+    */
+  def drift(spark: SparkSession, dir: String,
+            histCol: String = "gap_hist"): DataFrame =
+    currentGen(dir) match {
+      case Some((g, _)) if g >= 1 =>
+        Incremental.generationDrift(
+          spark.read.parquet(s"$dir/gen-${g - 1}"),
+          spark.read.parquet(s"$dir/gen-$g"), histCol)
+      case Some((g, _)) => throw new IllegalStateException(
+        s"store at $dir has a single generation (gen-$g) — drift needs two")
       case None => throw new IllegalStateException(s"no generations in $dir")
     }
 }

@@ -229,6 +229,47 @@ class IncrementalSpec extends SparkSpec {
     assert(z.select("len_mean").as[Option[Double]].head().isEmpty)
   }
 
+  test("generationDrift: PSI off the histogram family matches a hand-computed value") {
+    // two "generations" with known corpus-level gap histograms:
+    // prev: bin0=3, bin1=1   cur: bin0=3+1=4, bin1=1+2=3, bin2=1
+    val prev = Seq(
+      ("a", Map(0 -> 3L, 1 -> 1L))).toDF("conv_id", "gap_hist")
+    val cur = Seq(
+      ("a", Map(0 -> 3L, 1 -> 2L)),
+      ("b", Map(0 -> 1L, 1 -> 1L, 2 -> 1L))).toDF("conv_id", "gap_hist")
+    val got = Incremental.generationDrift(prev, cur)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).head
+    // independent reimplementation: union support {0,1,2}, Laplace +1,
+    // denominators tot+3
+    val (ca, cb) = (Map(0 -> 3L, 1 -> 1L, 2 -> 0L), Map(0 -> 4L, 1 -> 3L, 2 -> 1L))
+    val (ta, tb) = (ca.values.sum + 3.0, cb.values.sum + 3.0)
+    val psi = (0 to 2).map { k =>
+      val pa = (ca(k) + 1) / ta; val pb = (cb(k) + 1) / tb
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    assert(got._1 == "gap_hist" && got._2 == 3L)
+    assert(math.abs(got._3 - math.round(psi * 1e6) / 1e6) < 1e-9,
+      s"psi ${got._3} != expected $psi")
+  }
+
+  test("IncrementalStore.drift: previous-vs-current generation PSI, no corpus rescan") {
+    val t = fixture
+    val store = Files.createTempDirectory("drift_store").toString
+    val s1 = t.filter(col("turn_idx") < 3)
+    val s2 = t.filter(col("turn_idx") >= 3)
+    graft.features.IncrementalStore.upsert(spark, store, s1, epochId = Some(1L))
+    graft.features.IncrementalStore.upsert(spark, store, s2, epochId = Some(2L))
+    def rows(df: DataFrame) = df.collect().map(_.toString).toSeq
+    // gen-0 = partials(slice1), gen-1 = merged ≡ partials(all) (pinned
+    // above), so the store drift must equal the direct computation
+    val direct = Incremental.generationDrift(
+      Incremental.partials(s1), Incremental.partials(t))
+    assert(rows(graft.features.IncrementalStore.drift(spark, store)) == rows(direct))
+    // the tool_hist family rides the same machinery
+    val dt = graft.features.IncrementalStore.drift(spark, store, "tool_hist").collect().head
+    assert(dt.getString(0) == "tool_hist" && dt.getLong(1) >= 1L)
+  }
+
   test("SignatureStore: two upsert cycles equal direct signatures; cycle pairs equal the registry query") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
