@@ -678,6 +678,46 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // ——— exact-k sample, scale form: hash-threshold prefilter ———
+    // The 10¹²-doc spelling of q_sample_topk, same oracle (output is
+    // identical BY CONSTRUCTION, not approximately): the k smallest hashes
+    // almost surely sit under threshold 4k/|stratum| of the hash space, so
+    // the per-stratum sort runs on a ~4k-row survivor set instead of the
+    // stratum (the full-corpus window sort becomes a scan + a tiny sort).
+    // EXACTNESS is restored declaratively, not probabilistically: strata
+    // whose survivor count comes up short of min(k, n) — possible only
+    // under pathological hash clustering, P ≈ e^{-k} per stratum at the 4×
+    // margin — are re-ranked from the FULL table via an anti-join-shaped
+    // fallback branch unioned in. The fallback frame is empty in any
+    // non-adversarial run, so nothing materializes for it beyond the
+    // per-stratum counts the plan already aggregates.
+    "q_sample_topk_prefilter" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val k = 25L
+      val hashSpace = 1L << 60
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        md5Long(col("doc_id").cast("string")).as("__h"))
+      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val thr = sizes.select(col("source"), col("n"),
+        when(col("n") <= k * 4, lit(hashSpace))
+          .otherwise((lit(hashSpace) / col("n")) * (k * 4)).as("thr"))
+      val surv = d.join(broadcast(thr), Seq("source"))
+        .filter(col("__h") < col("thr"))
+      val status = surv.groupBy(col("source")).agg(count(lit(1)).as("m"))
+        .join(broadcast(sizes), Seq("source"))
+        .select(col("source"), (col("m") >= least(lit(k), col("n"))).as("ok"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("__h").asc, col("doc_id").asc)
+      def topk(df: DataFrame) = df
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+      val fast = topk(surv.join(broadcast(status), Seq("source"))
+        .filter(col("ok")).drop("ok"))
+      val slow = topk(d.join(broadcast(status), Seq("source"))
+        .filter(!col("ok")).drop("ok"))
+      fast.unionByName(slow).orderBy("source", "rk")
+    }),
+
     // ——— greedy sequence packing (training-batch assembly) ———
     // Pack documents into fixed-capacity token bins — the op that turns a
     // curated corpus into training sequences. Greedy packing is a
@@ -2713,6 +2753,19 @@ object SparkEntry {
         |ORDER BY conv_id, turn_idx""".stripMargin),
 
     "q_sample_topk" -> (
+      """WITH h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC) AS rk
+        |  FROM h)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 25 ORDER BY source, rk""".stripMargin),
+
+    // identical contract to q_sample_topk — the prefilter is a physical
+    // optimization with a declarative exactness fallback, so the oracle IS
+    // the plain windowed form
+    "q_sample_topk_prefilter" -> (
       """WITH h AS (SELECT doc_id, source,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
         |  FROM documents),

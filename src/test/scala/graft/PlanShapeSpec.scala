@@ -173,6 +173,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggs(p) == 0, "packing is a scan, not an aggregation")
   }
 
+  test("exact-k prefilter sample: both branches planned, no cartesian, broadcast thresholds") {
+    val p = plan("q_sample_topk_prefilter")
+    assert(count(p, "Window \\[row_number") == 2,
+      s"fast (survivor-sorted) and fallback (full-sort) branches must both be planned:\n$p")
+    // Spark pushes the rank filter into WindowGroupLimit (partial+final per
+    // branch) — the top-k never sorts more than k rows per task
+    assert(count(p, "WindowGroupLimit") == 4,
+      s"rank<=k must plan as WindowGroupLimit top-k pushdown:\n$p")
+    assert(count(p, "CartesianProduct|SortMergeJoin") == 0,
+      "stratum thresholds and status are sources-sized — they must broadcast")
+  }
+
   test("quality-ranked budget selection: broadcast budgets, one per-source window sort") {
     val p = plan("q_mix_select")
     assert(count(p, "BroadcastHashJoin") == 1,
