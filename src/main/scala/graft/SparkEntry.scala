@@ -742,6 +742,55 @@ object SparkEntry {
       graft.ops.Packing.packTurns(Tables.turns(s, dir), capacity = 40L)
         .toDF().orderBy("conv_id", "turn_idx")),
 
+    // ——— sliding context windows with stride ———
+    // Long-context training prep: each document yields token windows of
+    // width W every S tokens (overlapping when S < W), the counterpart of
+    // packing for runs that want stride-covered context rather than
+    // disjoint bins. Starts come from sequence(0, lastStart, S) where
+    // lastStart = the largest multiple of S at which a window still has
+    // ≥1 token (short docs yield exactly one window) — ROW-LOCAL Column
+    // algebra (explode of a bounded sequence, windows-per-doc ≤
+    // tok_cnt/S + 1): zero shuffle beyond the output sort, codegen end to
+    // end, so it runs at scan speed on any corpus. Window end clamps to
+    // the doc (the final, possibly-short tail window is kept — training
+    // pipelines pad it; dropping it would lose the doc's suffix).
+    "q_chunk_windows" -> ((s, dir) => {
+      val W = 40L; val S = 25L
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      d.select(col("doc_id"), col("tok_cnt"),
+          explode(sequence(lit(0L),
+            expr(s"greatest(tok_cnt - 1, 0) div $S") * S, lit(S))).as("w_start"))
+        .withColumn("w_end", least(col("w_start") + W, col("tok_cnt")))
+        .filter(col("w_start") < col("tok_cnt"))
+        .withColumn("win_idx", (col("w_start") / S).cast("long"))
+        .select(col("doc_id"), col("win_idx"), col("w_start"), col("w_end"))
+        .orderBy("doc_id", "win_idx")
+    }),
+
+    // ——— token-budget context trimming ———
+    // The SFT preprocessing step packing does not cover: keep the maximal
+    // SUFFIX of each conversation's turns whose token sum fits the context
+    // budget (recent turns matter, old turns truncate from the left — the
+    // standard chat-template trim). Reverse running token sum per
+    // conversation ≤ budget: ONE window on the layout the whole turn
+    // pipeline already rides (conv_id exchange, turn_idx sort) — no joins,
+    // no second pass; emits the kept turns with their distance-from-end
+    // token total so downstream assembly can verify the budget.
+    "q_context_trim" -> ((s, dir) => {
+      val budget = 120L
+      val w = Window.partitionBy(col("conv_id"))
+        .orderBy(col("turn_idx").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+        .withColumn("cum_from_end", sum(col("tok_cnt")).over(w))
+        .filter(col("cum_from_end") <= budget)
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // ——— eval-set decontamination (n-gram overlap) ———
     // Flag training documents that share word 3-grams with a held-out
     // eval set (here: the deterministic doc_id % 97 == 0 slice — in
@@ -2817,6 +2866,31 @@ object SparkEntry {
         |  FROM pack p JOIN d ON d.conv_id = p.conv_id AND d.rn = p.rn + 1)
         |SELECT conv_id, turn_idx, tok_cnt, CAST(block AS INTEGER) AS block
         |FROM pack ORDER BY conv_id, turn_idx""".stripMargin),
+
+    // range(start, stop, step) excludes stop → +1 on the last start; both
+    // engines keep the clamped tail window and drop empty/NULL-text docs
+    // (w_start < tok_cnt is never true there)
+    "q_chunk_windows" -> (
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt FROM documents),
+        |w AS (SELECT doc_id, tok_cnt,
+        |  unnest(range(0, ((greatest(tok_cnt - 1, 0) // 25) * 25) + 1, 25)) AS w_start
+        |  FROM d)
+        |SELECT doc_id, CAST(w_start // 25 AS BIGINT) AS win_idx,
+        |  CAST(w_start AS BIGINT) AS w_start,
+        |  CAST(least(w_start + 40, tok_cnt) AS BIGINT) AS w_end
+        |FROM w WHERE w_start < tok_cnt ORDER BY doc_id, win_idx""".stripMargin),
+
+    "q_context_trim" -> Oracle.withTurns(
+      """SELECT conv_id, turn_idx, tok_cnt,
+        |  CAST(cum_from_end AS BIGINT) AS cum_from_end FROM (
+        |  SELECT conv_id, turn_idx,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_from_end
+        |  FROM turns)
+        |WHERE cum_from_end <= 120 ORDER BY conv_id, turn_idx""".stripMargin),
 
     "q_decontaminate" -> (
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
