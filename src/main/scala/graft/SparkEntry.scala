@@ -703,9 +703,15 @@ object SparkEntry {
           .otherwise((lit(hashSpace) / col("n")) * (k * 4)).as("thr"))
       val surv = d.join(broadcast(thr), Seq("source"))
         .filter(col("__h") < col("thr"))
-      val status = surv.groupBy(col("source")).agg(count(lit(1)).as("m"))
-        .join(broadcast(sizes), Seq("source"))
-        .select(col("source"), (col("m") >= least(lit(k), col("n"))).as("ok"))
+      // status derives from SIZES (every stratum present), not from surv:
+      // a stratum with ZERO survivors would otherwise vanish from both
+      // branches' inner joins instead of falling back — exactly the
+      // adversarial case the fallback exists for (review r6)
+      val status = sizes
+        .join(surv.groupBy(col("source")).agg(count(lit(1)).as("m")),
+          Seq("source"), "left")
+        .select(col("source"),
+          (coalesce(col("m"), lit(0L)) >= least(lit(k), col("n"))).as("ok"))
       val w = Window.partitionBy(col("source"))
         .orderBy(col("__h").asc, col("doc_id").asc)
       def topk(df: DataFrame) = df
@@ -754,6 +760,10 @@ object SparkEntry {
     // end, so it runs at scan speed on any corpus. Window end clamps to
     // the doc (the final, possibly-short tail window is kept — training
     // pipelines pad it; dropping it would lose the doc's suffix).
+    // NULL-text docs yield no window; an EMPTY-string doc yields one
+    // 1-token window, because both engines tokenize "" to [""] (split
+    // semantics, not a bug to paper over — a pipeline that wants blank
+    // docs gone filters them upstream, q_curate-style).
     "q_chunk_windows" -> ((s, dir) => {
       val W = 40L; val S = 25L
       val d = Tables.documents(s, dir)
@@ -2868,8 +2878,8 @@ object SparkEntry {
         |FROM pack ORDER BY conv_id, turn_idx""".stripMargin),
 
     // range(start, stop, step) excludes stop → +1 on the last start; both
-    // engines keep the clamped tail window and drop empty/NULL-text docs
-    // (w_start < tok_cnt is never true there)
+    // engines keep the clamped tail window and drop NULL-text docs (an
+    // empty-string doc tokenizes to [""] in both engines → one window)
     "q_chunk_windows" -> (
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt FROM documents),

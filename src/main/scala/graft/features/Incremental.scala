@@ -283,9 +283,13 @@ object Incremental {
     def corpus(p: DataFrame, cnt: String): DataFrame = p
       .select(explode(col(histCol)).as(Seq("k", "__n")))
       .groupBy(col("k")).agg(sum(col("__n")).as(cnt))
+    // joined feeds BOTH the totals aggregate and the smoothing projection —
+    // checkpoint so the two explode+sum pipelines run once, keeping the
+    // advertised one-pass-per-generation cost (review r6)
     val joined = corpus(prev, "ca").join(corpus(cur, "cb"), Seq("k"), "full")
       .select(col("k"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint()
     val g = joined.agg(count(lit(1)).as("nb"),
       sum(col("ca")).as("tota"), sum(col("cb")).as("totb"))
     joined.crossJoin(g) // g is one row — broadcast by AQE
@@ -293,8 +297,12 @@ object Incremental {
         ((col("ca") + 1).cast("double") / (col("tota") + col("nb")).cast("double")).as("pa"),
         ((col("cb") + 1).cast("double") / (col("totb") + col("nb")).cast("double")).as("pb"),
         col("nb"))
-      .agg(first(col("nb")).as("n_bins"),
-        round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6).as("psi"))
+      // empty union support (family absent in both generations): the
+      // no-group agg still emits one row — pin it to (0, 0.0) rather than
+      // NULLs a threshold gate would silently pass (review r6)
+      .agg(coalesce(first(col("nb")), lit(0L)).as("n_bins"),
+        coalesce(round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6),
+          lit(0.0)).as("psi"))
       .select(lit(histCol).as("hist"), col("n_bins"), col("psi"))
   }
 }
@@ -503,4 +511,13 @@ object SignatureStore {
       case Some((g, _)) => spark.read.parquet(s"$dir/gen-$g")
       case None => throw new IllegalStateException(s"no generations in $dir")
     }
+
+  /** `None` ONLY when the store has no generation yet (first cycle); a
+    * malformed pointer or unreadable generation still throws — callers
+    * must not mistake a broken store for an empty one (silently treating
+    * a populated store as empty would drop every old↔new duplicate pair
+    * of the cycle, permanently once the upsert lands).
+    */
+  def sigsIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
+    currentGen(dir).map { case (g, _) => spark.read.parquet(s"$dir/gen-$g") }
 }

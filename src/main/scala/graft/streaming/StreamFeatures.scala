@@ -278,8 +278,10 @@ object StreamFeatures {
           // which a second action could not re-read)
           val slice = batch.toDF().localCheckpoint()
           val newSigs = graft.SparkEntry.lshBandSigs(slice).localCheckpoint()
-          val stored = scala.util.Try(
-            graft.features.SignatureStore.sigs(s, storeDir)).toOption
+          // None ONLY for a genuinely empty store; a broken pointer or
+          // unreadable generation fails the batch instead of silently
+          // dropping every old↔new pair of the cycle (review r6)
+          val stored = graft.features.SignatureStore.sigsIfAny(s, storeDir)
           val all = stored.fold(newSigs)(_.unionByName(newSigs))
           val cand = newSigs.as("n").join(all.as("o"),
               col("n.source") === col("o.source") &&
@@ -288,9 +290,16 @@ object StreamFeatures {
                 col("n.doc_id") =!= col("o.doc_id"))
             .select(least(col("n.doc_id"), col("o.doc_id")).as("da"),
               greatest(col("n.doc_id"), col("o.doc_id")).as("db"))
-            .distinct()
+            .distinct().localCheckpoint()
+          // restrict the verify lookup to candidate ids BEFORE deduping:
+          // the dedup (guards a doc present in both lake and slice) then
+          // runs on a candidate-sized frame, not the corpus — keeping the
+          // per-cycle cost O(slice + candidates), not O(lake) (review r6)
+          val ids = cand.select(col("da").as("doc_id"))
+            .unionByName(cand.select(col("db").as("doc_id"))).distinct()
           val lookup = corpus.select(col("doc_id"), col("text"))
             .unionByName(slice.select(col("doc_id"), col("text")))
+            .join(ids, Seq("doc_id"), "left_semi")
             .dropDuplicates("doc_id")
           graft.SparkEntry.lshVerify(lookup, cand)
             .withColumn("batch_id", lit(batchId))
