@@ -667,13 +667,10 @@ object SparkEntry {
     // survivor set) — same contract, bounded shuffle.
     "q_sample_topk" -> ((s, dir) => {
       import graft.functions.TextFns.md5Long
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("__h").asc, col("doc_id").asc)
-      Tables.documents(s, dir)
+      val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           md5Long(col("doc_id").cast("string")).as("__h"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 25)
+      graft.ops.Sampling.topKByHash(d, "source", "__h", 25L, Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
         .orderBy("source", "rk")
     }),
@@ -693,35 +690,12 @@ object SparkEntry {
     // per-stratum counts the plan already aggregates.
     "q_sample_topk_prefilter" -> ((s, dir) => {
       import graft.functions.TextFns.md5Long
-      val k = 25L
-      val hashSpace = 1L << 60
       val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         md5Long(col("doc_id").cast("string")).as("__h"))
-      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val thr = sizes.select(col("source"), col("n"),
-        when(col("n") <= k * 4, lit(hashSpace))
-          .otherwise((lit(hashSpace) / col("n")) * (k * 4)).as("thr"))
-      val surv = d.join(broadcast(thr), Seq("source"))
-        .filter(col("__h") < col("thr"))
-      // status derives from SIZES (every stratum present), not from surv:
-      // a stratum with ZERO survivors would otherwise vanish from both
-      // branches' inner joins instead of falling back — exactly the
-      // adversarial case the fallback exists for (review r6)
-      val status = sizes
-        .join(surv.groupBy(col("source")).agg(count(lit(1)).as("m")),
-          Seq("source"), "left")
-        .select(col("source"),
-          (coalesce(col("m"), lit(0L)) >= least(lit(k), col("n"))).as("ok"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("__h").asc, col("doc_id").asc)
-      def topk(df: DataFrame) = df
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      graft.ops.Sampling.topKByHashPrefiltered(d, "source", "__h", 25L,
+          tiebreak = Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
-      val fast = topk(surv.join(broadcast(status), Seq("source"))
-        .filter(col("ok")).drop("ok"))
-      val slow = topk(d.join(broadcast(status), Seq("source"))
-        .filter(!col("ok")).drop("ok"))
-      fast.unionByName(slow).orderBy("source", "rk")
+        .orderBy("source", "rk")
     }),
 
     // ——— greedy sequence packing (training-batch assembly) ———
