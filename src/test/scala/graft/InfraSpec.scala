@@ -332,6 +332,13 @@ class InfraSpec extends SparkSpec {
       epochId = Some(2L))
     val gens3 = new java.io.File(storeDir).list().filter(_.startsWith("gen-")).sorted.toSeq
     assert(gens3 != gens2, "identical-content NEW epoch was dropped as a replay")
+    // the stream-maintained store composes with the generation-drift QA
+    // gate: previous-vs-current PSI reads off the store alone (the b2
+    // re-upsert above left gen-1 = full corpus, gen-2 = full + replayed b2)
+    val dr = graft.features.IncrementalStore.drift(spark, storeDir)
+      .collect().head
+    assert(dr.getString(0) == "gap_hist" && !dr.isNullAt(2),
+      s"store drift must produce a concrete PSI row, got $dr")
   }
 
   test("streaming incremental near-dup: micro-batch cycles equal the corpus-wide pair pipeline") {
