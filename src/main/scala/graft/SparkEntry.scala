@@ -1092,6 +1092,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— temperature-weighted mixture sampling ———
+    // The multilingual/multi-source rebalancing rule (XLM/mBERT-style):
+    // sample source i with probability ∝ (its token share)^α, α < 1 —
+    // upweights small sources without letting any source dominate. α = 1/2
+    // here because sqrt is IEEE-CORRECTLY-ROUNDED (bit-identical in any
+    // engine), keeping the oracle deterministic where a general pow(x, 0.7)
+    // is not guaranteed to be; a production α ≠ 1/2 runs the SAME plan with
+    // pow and accepts last-ULP rate wobble (documented, like the sketch
+    // family). Per-doc keep rate_i = 1e6 · N_target · w_i / (Σw · n_i)
+    // evaluated in ONE multiply-then-divide order both engines mirror, then
+    // floor()ed to an integer threshold for the hash-mod filter — the same
+    // deterministic-at-any-parallelism selection shape as q_mix_budget.
+    // Plan: two tiny aggregates (sources-sized, broadcast) + one scan.
+    "q_mix_temperature" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok_cnt"))
+      val bySrc = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("src_toks"))
+      val g = bySrc.agg(sum(sqrt(col("src_toks").cast("double"))).as("wsum"),
+        expr("(sum(n_docs) * 2) div 5").as("n_target"))
+      val thr = bySrc.crossJoin(g)
+        .select(col("source"),
+          least(floor(lit(1000000.0) * col("n_target").cast("double") *
+              sqrt(col("src_toks").cast("double")) /
+              (col("wsum") * col("n_docs").cast("double"))),
+            lit(1000000L)).cast("long").as("thr"))
+      d.join(broadcast(thr), Seq("source"))
+        .filter(md5Long(col("doc_id").cast("string")) % 1000000 < col("thr"))
+        .select(col("doc_id"), col("source"), col("tok_cnt"))
+        .orderBy("doc_id")
+    }),
+
     // ——— quality-ranked budget selection ———
     // The step after q_mix_budget's RATE sampling when the pipeline wants
     // the BEST documents under each source's token budget rather than a
@@ -3016,6 +3050,23 @@ object SparkEntry {
         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_src, CAST(sum(src_toks) AS BIGINT) AS total FROM s),
         |thr AS (SELECT source,
         |  least((1000000 * ((total * 2) // 5)) // (n_src * src_toks), 1000000) AS thr
+        |  FROM s CROSS JOIN g)
+        |SELECT d.doc_id, d.source, d.tok_cnt FROM d JOIN thr USING (source)
+        |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < thr
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_mix_temperature" -> (
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS src_toks FROM d GROUP BY 1),
+        |g AS (SELECT sum(sqrt(CAST(src_toks AS DOUBLE))) AS wsum,
+        |  (CAST(sum(n_docs) AS BIGINT) * 2) // 5 AS n_target FROM s),
+        |thr AS (SELECT source,
+        |  least(CAST(floor(1000000.0 * CAST(n_target AS DOUBLE) *
+        |      sqrt(CAST(src_toks AS DOUBLE)) /
+        |      (wsum * CAST(n_docs AS DOUBLE))) AS BIGINT),
+        |    1000000) AS thr
         |  FROM s CROSS JOIN g)
         |SELECT d.doc_id, d.source, d.tok_cnt FROM d JOIN thr USING (source)
         |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000000 < thr
