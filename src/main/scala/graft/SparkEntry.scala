@@ -2009,6 +2009,193 @@ object SparkEntry {
         .groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
         .orderBy(col("n_turns").desc, col("conv_id"))
         .limit(10)),
+
+    // ——— ANN index quality: recall@k of the LSH index vs brute truth ———
+    // "Measure, don't guess" applied to the index itself: an approximate
+    // search operator is only done when its recall is a NUMBER the pipeline
+    // recomputes whenever the index parameters change (band count/width,
+    // plane set) — the index-evaluation job every production ANN deployment
+    // runs. Built ON the registry's own entries (not re-stated pipelines),
+    // so it measures exactly the shipped q_knn_lsh against exactly the
+    // shipped q_knn_brute ground truth; both rank with the same
+    // deterministic tiebreak (cos desc, nbr), so the set intersection is
+    // well-defined in both engines. Plan: two query-driven pipelines whose
+    // results are queries×k-sized, a semi-join + two tiny aggregates — at
+    // any corpus size the recall stage itself is query-set-sized (the cost
+    // lives in the underlying index/truth scans). At 100 TB the truth side
+    // runs over a SAMPLED query panel (vec_id < 5 here is the fixture's
+    // panel) — recall estimation never needs corpus×corpus work.
+    "q_knn_recall" -> ((s, dir) => {
+      val truth = queries("q_knn_brute")(s, dir).select(col("qid"), col("nbr"))
+      val approx = queries("q_knn_lsh")(s, dir).select(col("qid"), col("nbr"))
+      val hits = truth.join(broadcast(approx), Seq("qid", "nbr"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+        .join(broadcast(hits), Seq("qid"), "left")
+        .select(col("qid"), col("n_true"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_true"), 6).as("recall"))
+        .orderBy("qid")
+    }),
+
+    // ——— n-gram novelty: per-doc fraction of first-seen trigrams ———
+    // The diversity/redundancy curation signal (the "how much of this doc
+    // is new to the corpus" axis that dedup's binary keep/drop flattens):
+    // a trigram is NOVEL in the first doc (by doc_id) that contains it, and
+    // a doc's novelty is its novel share of distinct trigrams. Boilerplate-
+    // heavy and near-duplicate docs score near 0; the corpus's first
+    // occurrence of new content scores near 1. Shapes for scale: grams are
+    // distinct ROW-LOCALLY (array_distinct before explode — no corpus-wide
+    // distinct shuffle), the shuffle/join key is the 60-bit md5 of the gram
+    // (8 bytes, never the gram text; same collision bound as exact dedup —
+    // ~n²/2⁶¹ expected colliding gram pairs), first-occurrence is ONE
+    // map-side-combinable min() groupBy, and the join back to gram
+    // occurrences is equi-join on the hash, AQE-skew-splittable when one
+    // boilerplate trigram dominates (the same join-not-window choice the
+    // skew-safe DupSpans variant measures). Docs with < 3 tokens or null
+    // text surface with n_grams = 0 and null novelty.
+    "q_ngram_novelty" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val d = Tables.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val grams = when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3)))))
+        .otherwise(array().cast("array<string>"))
+      val g = d.select(col("doc_id"), explode(grams).as("gram"))
+        .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+      val first = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      val per = g.join(first, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— sequence-length bucketing: padding-waste accounting ———
+    // The batch-shape planning job behind length-grouped batching: assign
+    // every doc to the smallest power-of-two context length that holds it
+    // and account, per bucket, how many pad tokens that batch shape burns
+    // (padded = bucket · n_docs; waste = 1 − real/padded). The ladder is a
+    // LITERAL case chain — no log2() float round-trip, so bucket assignment
+    // is exact integer logic both engines evaluate identically (IEEE log2
+    // of an exact power of two is not guaranteed correctly rounded; a CASE
+    // ladder is); docs past the top rung clamp to it (a production ladder
+    // extends the literal list). waste is one correctly-rounded double
+    // division of exact integers. Plan: one scan + one map-side-combinable
+    // groupBy over ≤ 9 keys — scan speed at any corpus size.
+    "q_length_buckets" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+          .as("tok_cnt"))
+      val edges = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+      val bucket = edges.dropRight(1).reverse
+        .foldLeft(lit(edges.last): org.apache.spark.sql.Column) { (acc, e) =>
+          when(col("tok_cnt") <= e, lit(e)).otherwise(acc)
+        }
+      d.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          (col("bucket") * col("n_docs")).as("padded_tokens"),
+          round(lit(1.0) - col("sum_tokens").cast("double") /
+            (col("bucket") * col("n_docs")).cast("double"), 6).as("waste"))
+        .orderBy("bucket")
+    }),
+
+    // ——— cross-source quality calibration: per-source percent-rank ———
+    // Raw quality scores are NOT comparable across sources (a 0.7 in a
+    // forum dump ≠ a 0.7 in curated reference text — different length and
+    // punctuation regimes), so mixture design thresholds on the CALIBRATED
+    // score: each doc's percent-rank within its source. A threshold
+    // q_pct ≥ x then selects the same top (1−x) slice of EVERY source —
+    // the rank-normalization step quality-stratified mixtures run before
+    // q_mix_select. Engine-exact by construction: the order key is
+    // (6-dp-rounded q, doc_id) — a total order with no ties — so
+    // percent_rank = (rank−1)/(n−1) is a correctly-rounded division of
+    // exact integers in both engines (no stddev/mean float accumulation, a
+    // z-score's order-dependent sums would not hash-match). Plan: ONE
+    // per-source window sort, the q_mix_select shape, with the same
+    // documented 10¹²-doc scale swap (approx-quantile ECDF instead of the
+    // exact rank sort).
+    "q_quality_calibrate" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        round(TextFns.qualityScore(col("text")), 6).as("q"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").asc, col("doc_id").asc)
+      d.withColumn("q_pct", round(percent_rank().over(w), 6))
+        .select(col("doc_id"), col("source"), col("q"), col("q_pct"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— MinHash estimator calibration: estimated vs exact Jaccard ———
+    // The companion measurement to q_knn_recall, for the dedup side:
+    // MinHash-LSH keeps/drops documents based on an 8-seed ESTIMATE of
+    // Jaccard, and this query measures that estimator against the exact
+    // verified value over the live candidate set — the calibration job
+    // that tells a pipeline owner whether k = 8 seeds is enough before
+    // trusting the banding at a new threshold. est = matching-seed share
+    // (k/8 — exactly representable, so the 6-dp round is engine-exact);
+    // exact = the verify stage's Jaccard, UNfiltered (calibration needs
+    // the whole candidate range, not just ≥ 0.9 keepers); abs_err is one
+    // IEEE subtract of two identical doubles. ONE minhash pass total: the
+    // per-doc signature vector is aggregated once and BOTH derived forms —
+    // band keys (4-value CSV md5, bkey-identical to lshBandSigs by
+    // construction, spec-pinned) and the est seed-match — slice it;
+    // candidates come from bucket grouping, exact sides resolve in one
+    // documents scan (the lshVerify shape, sans threshold).
+    "q_minhash_error" -> ((s, dir) => {
+      import graft.functions.TextFns._
+      val docs = Tables.documents(s, dir)
+      val sig = minhashRows(docs, "doc_id", "text", 8)
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash")).as("sig"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val banded = sig.select(col("doc_id"), col("source"),
+        posexplode(array((0 until 2).map(b =>
+          md5Long(array_join(transform(slice(col("sig"), b * 4 + 1, 4),
+            v => v.cast("string")), ","))): _*)).as(Seq("band", "bkey")))
+      val buckets = banded.groupBy("source", "band", "bkey")
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val cand = buckets.select(explode(col("ds")).as("da"), col("ds"))
+        .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
+        .distinct()
+      val sets = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("s"))
+      val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
+        .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
+      val exact = sets.join(wanted, Seq("doc_id"))
+        .groupBy("da", "db")
+        .agg(
+          first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
+          first(when(col("doc_id") === col("db"), col("s")), ignoreNulls = true).as("sb"))
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .select(col("da"), col("db"), (col("i").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("i"))).as("j"))
+      exact
+        .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), Seq("da"))
+        .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), Seq("db"))
+        .withColumn("n_match", aggregate(zip_with(col("siga"), col("sigb"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, x) => acc + x))
+        .select(col("da"), col("db"),
+          round(col("n_match").cast("double") / 8, 6).as("est_jaccard"),
+          round(col("j"), 6).as("jaccard"),
+          round(abs(col("n_match").cast("double") / 8 - round(col("j"), 6)), 6)
+            .as("abs_err"))
+        .orderBy("da", "db")
+    }),
   )
 
   /** Per-document CDC chunk signatures — ONE definition for q_chunk_dedup
@@ -3917,5 +4104,117 @@ object SparkEntry {
       """SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
         |FROM turns GROUP BY 1
         |ORDER BY n_turns DESC, conv_id LIMIT 10""".stripMargin),
+
+    // recall@3 of the banded sign-plane index vs brute truth — the truth
+    // and approx CTEs restate q_knn_brute / q_knn_lsh verbatim (same
+    // tiebreak), then one semi-count per query id
+    "q_knn_recall" -> (
+      s"""WITH ${duckBandsCte()},
+        |bsims AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nbr,
+        |    round(${duckCos("q.embedding::DOUBLE[]", "e.embedding::DOUBLE[]")}, 6) AS cos_sim
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND q.vec_id <> e.vec_id),
+        |truth AS (SELECT qid, nbr FROM (
+        |  SELECT qid, nbr, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
+        |  FROM bsims) WHERE rank <= 3),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nbr
+        |  FROM bands q JOIN bands e
+        |    ON q.band_idx = e.band_idx AND q.band_val = e.band_val
+        |  WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id),
+        |lsims AS (
+        |  SELECT c.qid, c.nbr,
+        |    round(${duckCos("qe.embedding::DOUBLE[]", "ne.embedding::DOUBLE[]")}, 6) AS cos_sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.qid
+        |  JOIN embeddings ne ON ne.vec_id = c.nbr),
+        |approx AS (SELECT qid, nbr FROM (
+        |  SELECT qid, nbr, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nbr) AS rank
+        |  FROM lsims) WHERE rank <= 3),
+        |h AS (SELECT t.qid, count(*) AS hits FROM truth t
+        |  JOIN approx a ON a.qid = t.qid AND a.nbr = t.nbr GROUP BY 1),
+        |tt AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY 1)
+        |SELECT tt.qid, CAST(tt.n_true AS BIGINT) AS n_true,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / tt.n_true, 6) AS recall
+        |FROM tt LEFT JOIN h ON h.qid = tt.qid
+        |ORDER BY tt.qid""".stripMargin),
+
+    // novelty: trigram first-occurrence by min(doc_id) over the 60-bit
+    // gram hash (the shared md5Long primitive); docs without grams keep
+    // n_grams = 0 and NULL novelty in both engines
+    "q_ngram_novelty" -> (
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |    FROM toks)),
+        |first AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |per AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM g JOIN first f ON f.gh = g.gh GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+        |  round(CAST(p.n_novel AS DOUBLE) / p.n_grams, 6) AS novelty
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // power-of-two length ladder as a literal CASE chain (no float log2);
+    // waste = 1 − real/padded over exact integers
+    "q_length_buckets" -> (
+      """WITH d AS (
+        |  SELECT coalesce(len(string_split(text, ' ')), 0) AS tok_cnt
+        |  FROM documents),
+        |b AS (SELECT tok_cnt,
+        |  CASE WHEN tok_cnt <= 16 THEN 16 WHEN tok_cnt <= 32 THEN 32
+        |       WHEN tok_cnt <= 64 THEN 64 WHEN tok_cnt <= 128 THEN 128
+        |       WHEN tok_cnt <= 256 THEN 256 WHEN tok_cnt <= 512 THEN 512
+        |       WHEN tok_cnt <= 1024 THEN 1024 WHEN tok_cnt <= 2048 THEN 2048
+        |       ELSE 4096 END AS bucket
+        |  FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS sum_tokens,
+        |  CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+        |  round(CAST(1 AS DOUBLE) - CAST(sum(tok_cnt) AS DOUBLE)
+        |    / CAST(bucket * count(*) AS DOUBLE), 6) AS waste
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // per-source percent-rank of the 6-dp quality score; the (q, doc_id)
+    // order key is tie-free so percent_rank = (row−1)/(n−1) exactly;
+    // NULLS FIRST pins DuckDB to Spark's asc-nulls-first default
+    "q_quality_calibrate" -> (
+      """WITH d AS (SELECT doc_id, source,
+        |  round(ln(1.0 + len(string_split(text, ' '))) *
+        |        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 6) AS q
+        |  FROM documents)
+        |SELECT doc_id, source, q,
+        |  round(percent_rank() OVER (PARTITION BY source
+        |    ORDER BY q ASC NULLS FIRST, doc_id ASC), 6) AS q_pct
+        |FROM d ORDER BY doc_id""".stripMargin),
+
+    // estimator calibration over the live candidate set: matching-seed
+    // share vs the verify stage's exact Jaccard (unfiltered `ver`)
+    "q_minhash_error" -> (
+      s"""WITH $neardupPairsCtes,
+        |mm AS (SELECT c.da, c.db,
+        |    sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS n_match
+        |  FROM cand c
+        |  JOIN mh x ON x.doc_id = c.da
+        |  JOIN mh y ON y.doc_id = c.db AND y.seed = x.seed
+        |  GROUP BY 1, 2)
+        |SELECT v.da, v.db,
+        |  round(CAST(mm.n_match AS DOUBLE) / 8, 6) AS est_jaccard,
+        |  round(v.j, 6) AS jaccard,
+        |  round(abs(CAST(mm.n_match AS DOUBLE) / 8 - round(v.j, 6)), 6) AS abs_err
+        |FROM ver v JOIN mm ON mm.da = v.da AND mm.db = v.db
+        |ORDER BY v.da, v.db""".stripMargin),
   )
 }

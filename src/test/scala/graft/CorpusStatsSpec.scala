@@ -196,4 +196,76 @@ class CorpusStatsSpec extends SparkSpec {
     val frac = toks.toDouble / total
     assert(frac > 0.25 && frac < 0.55, s"selected fraction $frac far from the 0.4 budget")
   }
+
+  test("ngram novelty: hand-computed fixture — first doc 1, dup 0, overlap fractional") {
+    // the fixture SFs carry no exact dups, so pin the semantics on a
+    // crafted corpus written in the documents schema and fed to the SAME
+    // registry query (Tables.documents reads dir/documents.parquet)
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    Seq(
+      (0L, "a b c d", "en", "s0"),             // grams: abc bcd → both novel
+      (1L, "a b c d", "en", "s0"),             // exact dup → 0 novel
+      (2L, "c d e f", "en", "s0"),             // cde def novel; (no shared gram)
+      (3L, "a b c x y z", "en", "s0"),         // abc seen; bcx cxy xyz novel
+      (4L, "t u", "en", "s0"),                 // < 3 tokens → no grams
+      (5L, null.asInstanceOf[String], "en", "s0"), // null text → no grams
+      (6L, "a b c d e f", "en", "s0")          // abc bcd cde def all seen → 0
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_ngram_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_ => r.getDouble(3))))
+      .toMap
+    assert(got(0L) == ((2L, 2L, Some(1.0))), s"first doc all-novel: ${got(0L)}")
+    assert(got(1L) == ((2L, 0L, Some(0.0))), s"exact dup zero-novelty: ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, Some(1.0))))
+    assert(got(3L) == ((4L, 3L, Some(0.75))), s"partial overlap: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, None)), "short doc: no grams, null novelty")
+    assert(got(5L) == ((0L, 0L, None)), "null text: no grams, null novelty")
+    assert(got(6L) == ((4L, 0L, Some(0.0))), "all grams seen earlier")
+    // every gram is novel in exactly one doc: Σ n_novel = |distinct grams|
+    assert(got.values.map(_._2).sum == 7L)
+  }
+
+  test("knn recall: per-query bounds, full truth panel, brute self-recall is 1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_knn_recall")(spark, dir)
+      .select("qid", "n_true", "hits", "recall").collect()
+    assert(rows.length == 5, "one row per query-panel member")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L, "brute truth is top-3 per query")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 3L)
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of bounds: $rec")
+    }
+    // sanity of the measurement itself: truth evaluated against truth is 1
+    val truth = SparkEntry.queries("q_knn_brute")(spark, dir)
+      .select("qid", "nbr")
+    val self = truth.join(truth.withColumnRenamed("nbr", "nbr2"),
+        Seq("qid")).filter(col("nbr") === col("nbr2")).count()
+    assert(self == 15L, "self-intersection of a 5x3 truth set must be 15")
+  }
+
+  test("length buckets: partition the corpus, ladder-exact assignment, waste bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_length_buckets")(spark, dir)
+      .select("bucket", "n_docs", "sum_tokens", "padded_tokens", "waste")
+      .collect()
+    val ladder = Set(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    assert(rows.forall(r => ladder.contains(r.getLong(0))))
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "buckets must partition the corpus")
+    rows.foreach { r =>
+      val (b, n, s, p, w) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))
+      assert(p == b * n)
+      assert(s <= p, "real tokens cannot exceed the padded capacity")
+      // boundary correctness read off the data: every doc in a bucket above
+      // the floor rung must NOT have fit the next rung down
+      if (b > 16L) assert(s > (b / 2) * n,
+        s"bucket $b holds a doc that belongs in ${b / 2}")
+      assert(w >= 0.0 && w < 1.0)
+    }
+  }
 }

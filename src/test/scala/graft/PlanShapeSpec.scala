@@ -192,4 +192,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin|CartesianProduct") == 0)
     assert(count(p, "Window") == 1, "exactly one running-sum window")
   }
+
+  test("ngram novelty: join-not-window, row-local gram dedup, no cartesian") {
+    val p = plan("q_ngram_novelty")
+    // first-occurrence via groupBy(min) + equi-join, NOT a min-over-window
+    // on the gram hash: windows give hot boilerplate grams no map-side
+    // combine and no AQE skew split (the DupSpans lesson)
+    assert(count(p, "Window") == 0, s"novelty must not plan a window:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+    // gram distinct-ing is array_distinct before the explode — a corpus-
+    // wide Distinct/Deduplicate pass on (doc, gram) must not appear
+    assert(!p.contains("Deduplicate"), "gram dedup must stay row-local")
+  }
+
+  test("length buckets: one scan, one aggregate pair, no joins") {
+    val p = plan("q_length_buckets")
+    assert(count(p, "Join") == 0, s"bucketing is a pure aggregation:\n$p")
+    assert(aggs(p) == 2, s"exactly one partial+final aggregate pair:\n$p")
+    assert(count(p, "Scan parquet") == 1)
+  }
+
+  test("knn recall: query-panel-sized joins only, no cartesian") {
+    val p = plan("q_knn_recall")
+    assert(count(p, "CartesianProduct") == 0)
+    // truth/approx frames are queries×k-sized — the recall joins broadcast
+    assert(count(p, "SortMergeJoin") == 0,
+      s"recall-stage joins over panel-sized frames must broadcast:\n$p")
+  }
 }
