@@ -228,6 +228,56 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 7L)
   }
 
+  test("quality calibration: per-source [0,1] span, monotone in q, equal slices") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_quality_calibrate")(spark, dir)
+      .select("source", "q", "q_pct").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_._3).min == 0.0 && rs.map(_._3).max == 1.0,
+        s"$src: percent-rank must span [0,1] exactly")
+      // monotone: ranked by (q, within-source order), q_pct never decreases
+      val sorted = rs.sortBy(t => (t._2, t._3))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        s"$src: q_pct must be monotone in q")
+    }
+    // the calibration contract: a threshold selects the SAME share of
+    // every equal-sized source (that is what raw q cannot do)
+    val picked = bySrc.map { case (_, rs) => rs.count(_._3 >= 0.8) }
+    assert(picked.toSet.size == 1,
+      s"equal-sized sources must select equal counts at a q_pct threshold: $picked")
+  }
+
+  test("minhash error: same candidates as the production pipeline, exact arithmetic") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_minhash_error")(spark, dir)
+      .select("da", "db", "est_jaccard", "jaccard", "abs_err").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    // est is a k/8 lattice value; abs_err recomputes from the row itself
+    got.foreach { case (da, db, est, j, err) =>
+      assert(da < db)
+      assert((est * 8).round / 8.0 == est && est >= 0.0 && est <= 1.0,
+        s"est must be a multiple of 1/8: $est")
+      assert(math.abs(err - math.abs(est - j)) < 1e-9,
+        s"abs_err must be |est - jaccard| for ($da,$db)")
+    }
+    // the calibration must measure the LIVE candidate set: identical pairs
+    // to the bucket-grouped lshBandSigs candidates the dedup pipeline uses
+    val docs = Tables.documents(spark, dir)
+    val prodCand = SparkEntry.lshBandSigs(docs)
+      .groupBy("source", "band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == prodCand,
+      "calibration pairs must equal the production candidate set")
+  }
+
   test("knn recall: per-query bounds, full truth panel, brute self-recall is 1") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q_knn_recall")(spark, dir)

@@ -219,4 +219,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin") == 0,
       s"recall-stage joins over panel-sized frames must broadcast:\n$p")
   }
+
+  test("quality calibration: one per-source window sort, no joins") {
+    val p = plan("q_quality_calibrate")
+    assert(count(p, "Window") == 1, s"exactly one percent-rank window:\n$p")
+    assert(count(p, "Join") == 0)
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("minhash error: bucket-grouped candidates, no cartesian, no window") {
+    val p = plan("q_minhash_error")
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "Window") == 0,
+      "candidates come from bucket groupBy, never a window or self-join")
+  }
 }
