@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
@@ -36,6 +36,32 @@ object SparkEntry {
     */
   private def turnsOrdered(s: SparkSession, dir: String): DataFrame =
     Tables.turns(s, dir)
+
+  /** Distinct-trigram array over a MATERIALIZED token-array attribute.
+    * The attribute is load-bearing: higher-order lambdas run interpreted
+    * (no codegen, no cross-reference subexpression elimination), so each
+    * `element_at` re-evaluates its array child per element — pass
+    * `split(text, " ")` directly and shingling goes O(tokens²) per doc
+    * (measured: the trigram projection alone cost 3.6s vs 0.55s at sf0.1
+    * once the split was a projected attribute). Callers must
+    * `select(split(col("text"), " ").as("a"))` first and pass `col("a")`;
+    * CollapseProject keeps the projection separate because the alias is
+    * non-cheap and multiply referenced. Null text / < 3 tokens → [].
+    *
+    * Second trap: `explode` THIS EXPRESSION directly — never a projected
+    * alias of it. Exploding a cheap `grams` attribute lets
+    * InferFiltersFromGenerate add `size(grams) > 0` (it skips non-cheap
+    * generator inputs, SPARK-33544), and PushDownPredicates then pushes
+    * that filter below BOTH projections, alias-substituting the full
+    * quadratic split-inlined expression back in — measured 9.0s vs 1.7s
+    * for q_ngram_novelty at sf0.1, plan-pinned by PlanShapeSpec.
+    */
+  private def trigramArr(a: Column): Column =
+    when(size(a) >= 3,
+      array_distinct(transform(sequence(lit(1), size(a) - 2),
+        i => concat_ws(" ", element_at(a, i),
+          element_at(a, i + 1), element_at(a, i + 2)))))
+      .otherwise(array().cast("array<string>"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ——— ingest normalization (S2 analog): per-turn text equality gate ———
@@ -2047,37 +2073,38 @@ object SparkEntry {
     // heavy and near-duplicate docs score near 0; the corpus's first
     // occurrence of new content scores near 1. Shapes for scale: grams are
     // distinct ROW-LOCALLY (array_distinct before explode — no corpus-wide
-    // distinct shuffle), the shuffle/join key is the 60-bit md5 of the gram
+    // distinct shuffle), the shuffle key is the 60-bit md5 of the gram
     // (8 bytes, never the gram text; same collision bound as exact dedup —
-    // ~n²/2⁶¹ expected colliding gram pairs), first-occurrence is ONE
-    // map-side-combinable min() groupBy, and the join back to gram
-    // occurrences is equi-join on the hash, AQE-skew-splittable when one
-    // boilerplate trigram dominates (the same join-not-window choice the
-    // skew-safe DupSpans variant measures). Docs with < 3 tokens or null
-    // text surface with n_grams = 0 and null novelty.
+    // ~n²/2⁶¹ expected colliding gram pairs), and the gram frame shuffles
+    // exactly ONCE: per-doc novel counts are read off the first-occurrence
+    // frame itself (n_novel(doc) = |{grams whose min(doc_id) = doc}| — a
+    // second map-side-combinable groupBy chained on the already-exchanged
+    // min() output, no join back to gram occurrences), while n_grams is
+    // row-local (|distinct gram array|). A hot boilerplate trigram is
+    // absorbed by partial aggregation in BOTH stages — there is no
+    // gram-sized join or window anywhere for skew to poison (measured at
+    // sf0.1, tokens materialized per [[trigramArr]]: this one-exchange
+    // form 1.7s vs 2.1s for the join-back form — and 11.4s vs 8.7s before
+    // the materialization, i.e. the attribute matters 5× more than the
+    // plan shape here). Docs with < 3 tokens or null text surface with
+    // n_grams = 0 and null novelty.
     "q_ngram_novelty" -> ((s, dir) => {
       import graft.functions.TextFns.md5Long
       val d = Tables.documents(s, dir)
-      val toks = split(col("text"), " ")
-      val grams = when(size(toks) >= 3,
-        array_distinct(transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3)))))
-        .otherwise(array().cast("array<string>"))
-      val g = d.select(col("doc_id"), explode(grams).as("gram"))
+      val tokd = d.select(col("doc_id"), split(col("text"), " ").as("a"))
+      val novel = tokd
+        .select(col("doc_id"), explode(trigramArr(col("a"))).as("gram"))
         .select(col("doc_id"), md5Long(col("gram")).as("gh"))
-      val first = g.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
-      val per = g.join(first, Seq("gh"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        .groupBy(col("gh")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      tokd.select(col("doc_id"),
+          size(trigramArr(col("a"))).cast("long").as("n_grams"))
+        .join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6)
-            .as("novelty"))
+          when(col("n_grams") > 0,
+            round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_grams"), 6)).as("novelty"))
         .orderBy("doc_id")
     }),
 
@@ -2109,6 +2136,38 @@ object SparkEntry {
           round(lit(1.0) - col("sum_tokens").cast("double") /
             (col("bucket") * col("n_docs")).cast("double"), 6).as("waste"))
         .orderBy("bucket")
+    }),
+
+    // ——— vocabulary growth curve (Heaps'-law saturation diagnostic) ———
+    // "Is more data still adding new content?" — the dataset-sizing
+    // question answered by how many NEW distinct trigrams each corpus
+    // decile introduces (flattening curve ⇒ saturation ⇒ marginal data is
+    // increasingly redundant). TRIGRAM granularity deliberately: the
+    // single-token vocabulary of any real corpus (and this fixture)
+    // saturates in the first decile — a 1-row curve — while n-gram
+    // vocabulary keeps growing, which is what the sizing decision needs.
+    // Same first-occurrence machinery as q_ngram_novelty (its corpus-level
+    // companion): row-local distinct grams over the materialized token
+    // attribute ([[trigramArr]]), 60-bit hashed shuffle key, one
+    // map-side-combinable min() groupBy; deciles are doc_id RANGES via
+    // exact integer div against a broadcast 1-row max (no rank sort), so
+    // the curve is one tiny aggregate over the first-occurrence frame + a
+    // 10-row running sum. Scan-speed at any corpus (0.9s at sf0.1).
+    "q_vocab_growth" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      val d = Tables.documents(s, dir)
+      val first = d.select(col("doc_id"), split(col("text"), " ").as("a"))
+        .select(col("doc_id"), explode(trigramArr(col("a"))).as("gram"))
+        .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+        .groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+      val mx = d.agg((max(col("doc_id")) + lit(1L)).as("n"))
+      val dec = first.crossJoin(broadcast(mx))
+        .select(expr("(first_doc * 10) div n").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("n_new_grams"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("vocab_cum", sum(col("n_new_grams")).over(w))
+        .orderBy("decile")
     }),
 
     // ——— cross-source quality calibration: per-source percent-rank ———
@@ -4184,6 +4243,29 @@ object SparkEntry {
         |  round(CAST(1 AS DOUBLE) - CAST(sum(tok_cnt) AS DOUBLE)
         |    / CAST(bucket * count(*) AS DOUBLE), 6) AS waste
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    // trigram first-occurrence by min(doc_id) over the 60-bit hash (the
+    // q_ngram_novelty gram CTE); deciles by exact integer division;
+    // cumulative sum CAST to BIGINT (DuckDB window sum of BIGINT returns
+    // HUGEINT)
+    "q_vocab_growth" -> (
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |    FROM toks)),
+        |first AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |dg AS (SELECT CAST((first_doc * 10) // nn.n AS BIGINT) AS decile,
+        |    count(*) AS n_new_grams
+        |  FROM first, nn GROUP BY 1)
+        |SELECT decile, CAST(n_new_grams AS BIGINT) AS n_new_grams,
+        |  CAST(sum(n_new_grams) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+        |FROM dg ORDER BY decile""".stripMargin),
 
     // per-source percent-rank of the 6-dp quality score; the (q, doc_id)
     // order key is tie-free so percent_rank = (row−1)/(n−1) exactly;

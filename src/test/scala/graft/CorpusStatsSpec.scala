@@ -228,6 +228,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == 7L)
   }
 
+  test("vocab growth: deciles partition the gram vocabulary, cumulative is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_vocab_growth")(spark, dir)
+      .select("decile", "n_new_grams", "vocab_cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(t => t._1 >= 0 && t._1 <= 9))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length >= 5,
+      s"trigram vocabulary must keep growing past half the corpus (got ${rows.length} deciles)")
+    // running sum is internally consistent and ends at the full vocabulary
+    val cum = rows.sortBy(_._1).scanLeft(0L)(_ + _._2).tail
+    assert(rows.sortBy(_._1).map(_._3).toSeq == cum.toSeq)
+    // totals must agree with the per-doc novelty view of the same corpus:
+    // every gram is novel in exactly one doc, hence one decile
+    val novelTotal = SparkEntry.queries("q_ngram_novelty")(spark, dir)
+      .agg(sum("n_novel")).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == novelTotal,
+      "growth curve and per-doc novelty must partition the same vocabulary")
+  }
+
   test("quality calibration: per-source [0,1] span, monotone in q, equal slices") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q_quality_calibrate")(spark, dir)

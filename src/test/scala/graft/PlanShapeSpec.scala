@@ -220,6 +220,30 @@ class PlanShapeSpec extends SparkSpec {
       s"recall-stage joins over panel-sized frames must broadcast:\n$p")
   }
 
+  test("ngram novelty: split evaluated once per branch, no inferred-filter blowup") {
+    val p = plan("q_ngram_novelty")
+    // the two traps trigramArr's scaladoc documents: (a) split must stay a
+    // materialized attribute (one "split(" per scan branch, never inlined
+    // into the per-gram lambda — that re-splits per element, O(tokens²)),
+    // (b) no InferFiltersFromGenerate filter substituted below the token
+    // projection (explode of a projected gram alias reintroduces (a) in
+    // filter form — measured 9.0s vs 1.7s at sf0.1)
+    assert(count(p, "split\\(") <= 2,
+      s"split(text) must appear once per branch, got inline blowup:\n$p")
+    assert(count(p, "element_at\\(split") == 0 && count(p, "size\\(split") == 0,
+      s"an inferred generate-filter re-inlined the gram expression:\n$p")
+  }
+
+  test("vocab growth: broadcast scalar max, no cartesian, 10-row window only") {
+    val p = plan("q_vocab_growth")
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") == 1,
+      s"the 1-row max(doc_id) frame must broadcast:\n$p")
+    // the only window runs over the deciles-sized aggregate, never the
+    // token frame (first-occurrence is a groupBy, the novelty lesson)
+    assert(count(p, "Window") == 1)
+  }
+
   test("quality calibration: one per-source window sort, no joins") {
     val p = plan("q_quality_calibrate")
     assert(count(p, "Window") == 1, s"exactly one percent-rank window:\n$p")
