@@ -658,6 +658,52 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // ——— soft dedup: duplication-aware sampling weights ———
+    // The modern alternative to hard removal: keep every duplicate but
+    // downweight it by its cluster multiplicity (weight = 1/cluster_size),
+    // so a document repeated 40× contributes ~1 document's worth of
+    // gradient signal instead of 40 (and instead of 1 arbitrary survivor —
+    // hard dedup loses the natural frequency prior entirely). Rides the
+    // SAME pair graph and components as q_dedup_clusters; the increment is
+    // one cluster-sized map-side-combinable count + a corpus⋈clusters
+    // equi-join — nothing new grows with the corpus beyond the pair
+    // pipeline. Weight is one correctly-rounded division of exact
+    // integers (no intermediate float).
+    "q_soft_dedup" -> ((s, dir) => {
+      val pairs = neardupLshPairs(s, dir)
+      val lbl = graft.ops.Components.minLabel(pairs, "da", "db")
+      val clustered = Tables.documents(s, dir).select(col("doc_id"))
+        .join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+      val sizes = clustered.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      clustered.join(sizes, Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
+    // ——— containment near-dup: rare-shingle blocked, ASYMMETRIC ———
+    // The dedup axis symmetric Jaccard misses: a short document 90%+
+    // contained in a longer one (wire stories inside aggregator pages,
+    // quoted messages inside replies) has LOW Jaccard (|A∩B|/|A∪B| shrinks
+    // with the size ratio) so MinHash-LSH never pairs it; containment
+    // |A∩B|/|A| is the right score and needs its own candidate generation.
+    // Blocking: a doc pair is a candidate iff it shares a RARE trigram
+    // (global document frequency in [2, 10]) — recall contract: any inner
+    // doc with ≥ 1 rare shingle among its (≥90%) shared ones is found;
+    // docs made ENTIRELY of corpus-hot boilerplate are the dup-spans
+    // family's job, not this one's. Scale shape: candidate fan-out per
+    // shingle is capped at C(10,2) pairs BY THE BLOCKING PREDICATE (a hot
+    // shingle produces zero candidates — skew-immune by construction, no
+    // salting needed), postings/verify joins are all equi-joins on the
+    // 60-bit hash or on (da, db), and the threshold test is exact integer
+    // arithmetic (10·i ≥ 9·n — no float boundary); the rounded score is
+    // reporting only. Emits BOTH directions when both clear 0.9 (exact
+    // dups ⇒ two rows at 1.0).
+    "q_containment" -> ((s, dir) =>
+      containmentPairs(Tables.documents(s, dir))),
+
     // ——— deterministic stratified sampling (curation primitive) ———
     // Hash-mod sampling, NOT rand(): the decision is a pure function of
     // the row key, so the sample is identical at any parallelism / any
@@ -2314,6 +2360,46 @@ object SparkEntry {
     *    (pair list exploded to (doc_id, pair) and regrouped), never
     *    re-tokenizing the corpus per side.
     */
+  /** Rare-shingle-blocked asymmetric containment (q_containment's body,
+    * factored so the spec can drive it with a hand-built fixture). Input
+    * needs (doc_id, text); emits (inner_doc, outer_doc, containment) for
+    * every direction whose trigram containment |A∩B|/|A| clears 0.9 —
+    * exact-integer threshold (10·i ≥ 9·n), rounded score for reporting
+    * only. See the registry entry's comment for the blocking contract.
+    */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns.md5Long
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), explode(trigramArr(col("a"))).as("gram"))
+      .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10)).select("gh")
+    val rg = g.join(rare, Seq("gh"))
+    val cand = rg.as("x").join(rg.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val inter = cand
+      .join(g.as("ga"), col("ga.doc_id") === col("da"))
+      .join(g.as("gb"),
+        col("gb.doc_id") === col("db") && col("gb.gh") === col("ga.gh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    val j = inter
+      .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"),
+        Seq("da"))
+      .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"),
+        Seq("db"))
+    val fwd = j.filter(col("i") * 10 >= col("na") * 9)
+      .select(col("da").as("inner_doc"), col("db").as("outer_doc"),
+        round(col("i").cast("double") / col("na"), 6).as("containment"))
+    val rev = j.filter(col("i") * 10 >= col("nb") * 9)
+      .select(col("db").as("inner_doc"), col("da").as("outer_doc"),
+        round(col("i").cast("double") / col("nb"), 6).as("containment"))
+    fwd.unionByName(rev).orderBy("inner_doc", "outer_doc")
+  }
+
   private[graft] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val buckets = lshBandSigs(docs).groupBy("source", "band", "bkey")
@@ -2992,6 +3078,62 @@ object SparkEntry {
     // algorithm-variant twin: SAME oracle — minLabel and starContract are
     // two algorithms for one contract (label = component minimum)
     "q_dedup_clusters_star" -> dedupClustersOracle,
+
+    // same recursive closure as the clusters oracle, then one count per
+    // cluster label; 1.0::DOUBLE forces double division (bare 1.0 is
+    // DECIMAL in DuckDB — decimal division rounds differently)
+    "q_soft_dedup" -> (
+      s"""WITH RECURSIVE $neardupPairsCtes,
+         |pairs AS (SELECT da, db FROM ver WHERE j >= 0.9),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.src AS doc_id, reach.r FROM reach JOIN edges e ON e.dst = reach.doc_id
+         |),
+         |lab AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT l.doc_id, l.cluster,
+         |  CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+         |  round(1.0::DOUBLE / cs.cluster_size, 6) AS weight
+         |FROM lab l JOIN cs USING (cluster)
+         |ORDER BY l.doc_id""".stripMargin),
+
+    // rare-shingle blocked containment: trigram postings over the 60-bit
+    // hash (the q_ngram_novelty gram CTE), df ∈ [2,10] blocking, exact
+    // intersection on candidates, integer 10·i ≥ 9·n threshold — the
+    // round(,6) score is reporting only, never the cut
+    "q_containment" -> (
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |    FROM toks)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |rare AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM g GROUP BY 1)
+        |         WHERE df BETWEEN 2 AND 10),
+        |rg AS (SELECT g.doc_id, g.gh FROM g JOIN rare ON rare.gh = g.gh),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM rg x JOIN rg y ON y.gh = x.gh AND x.doc_id < y.doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS i
+        |  FROM cand c
+        |  JOIN g ga ON ga.doc_id = c.da
+        |  JOIN g gb ON gb.doc_id = c.db AND gb.gh = ga.gh
+        |  GROUP BY 1, 2),
+        |j AS (SELECT i.da, i.db, i.i, sa.n AS na, sb.n AS nb
+        |  FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.da
+        |  JOIN sz sb ON sb.doc_id = i.db)
+        |SELECT da AS inner_doc, db AS outer_doc,
+        |  round(i::DOUBLE / na, 6) AS containment
+        |FROM j WHERE i * 10 >= na * 9
+        |UNION ALL
+        |SELECT db, da, round(i::DOUBLE / nb, 6) FROM j WHERE i * 10 >= nb * 9
+        |ORDER BY inner_doc, outer_doc""".stripMargin),
 
     // Same recursive closure as the clusters oracle, then the hash-mod
     // split keyed on the cluster KEEPER (hashing 'split#<keeper>' — the

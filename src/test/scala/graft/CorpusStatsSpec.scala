@@ -338,4 +338,46 @@ class CorpusStatsSpec extends SparkSpec {
       assert(w >= 0.0 && w < 1.0)
     }
   }
+
+  test("containment: hand fixture — inner found at 1.0, asymmetric, sub-threshold dropped") {
+    val a = (1 to 30).map(i => s"a$i")
+    val docs = Seq(
+      1L -> a.mkString(" "),                               // outer
+      2L -> a.slice(9, 21).mkString(" "),                  // 12-token slice of 1
+      3L -> ((1 to 5).map(i => s"a$i") ++ (1 to 5).map(i => s"b$i")).mkString(" "),
+      4L -> (1 to 10).map(i => s"c$i").mkString(" "),      // exact dup pair
+      5L -> (1 to 10).map(i => s"c$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = SparkEntry.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 2's 10 trigrams all live in doc 1 → (2,1,1.0); doc 1 is NOT
+    // contained in doc 2 (10/28) — asymmetry; doc 3 shares only 3 of its
+    // 8 trigrams with doc 1 (0.375 < 0.9) — candidate generated (df=2,
+    // rare) but threshold drops it; exact dups 4/5 emit both directions
+    assert(got == Set((2L, 1L, 1.0), (4L, 5L, 1.0), (5L, 4L, 1.0)), s"got $got")
+  }
+
+  test("soft dedup: weights partition each cluster's unit mass, singletons keep 1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_soft_dedup")(spark, dir)
+      .select("doc_id", "cluster", "cluster_size", "weight").collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.length == nDocs, "soft dedup keeps every document")
+    rows.foreach { r =>
+      val (cs, w) = (r.getLong(2), r.getDouble(3))
+      assert(w > 0.0 && w <= 1.0)
+      if (cs == 1L) assert(w == 1.0, "a singleton must keep full weight")
+      assert(math.abs(w - 1.0 / cs) <= 5e-7, s"weight $w for size $cs")
+    }
+    // every cluster contributes exactly one document's worth of mass
+    rows.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      val tot = rs.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) <= rs.length * 5e-7,
+        s"cluster $c mass $tot over ${rs.length} members")
+      assert(rs.map(_.getLong(2)).toSet == Set(rs.length.toLong),
+        s"cluster_size disagrees with the actual member count for $c")
+    }
+    // multiplicity actually occurs in the fixture, so the rule fires
+    assert(rows.exists(_.getLong(2) > 1L), "fixture has no dup cluster")
+  }
 }
