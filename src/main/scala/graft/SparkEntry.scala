@@ -1138,6 +1138,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— bigram-LM quality with stupid backoff (KenLM shape) ———
+    // q_quality_lm's unigram model scores "is this word common"; the
+    // production CCNet/KenLM signal scores "is this word common HERE".
+    // This is the bigram step of that ladder with stupid backoff
+    // (Brants et al. 2007, "Large Language Models in Machine
+    // Translation"): the model trains on a deterministic 80% hash-slice
+    // of the corpus and scores ALL documents — training on the full
+    // corpus would make every scored bigram seen and the backoff dead
+    // code, where a real pipeline always scores with an LM trained
+    // elsewhere, so held-out docs genuinely exercise both backoff arms:
+    //   p(w2|w1) = c2(w1,w2)/c1(w1)    bigram seen in train
+    //            = 0.4·c1(w2)/total    unseen bigram, w2 in train vocab
+    //            = 0.4·1/total         OOV floor
+    // Scale shape: model tables are map-side-combinable counts; scoring
+    // joins are equi-joins on token/bigram keys (a hot "the"-like key is
+    // an AQE-skew-splittable JOIN, not a window); the scalar total
+    // broadcasts; bigrams are built ROW-LOCALLY from the materialized
+    // token array (the trigramArr HOF rules: attribute lambda refs,
+    // explode the expression directly).
+    "q_quality_lm2" -> ((s, dir) => {
+      import graft.functions.TextFns.md5Long
+      bigramNll(Tables.documents(s, dir),
+        md5Long(concat(lit("lm2#"), col("doc_id").cast("string"))) % 5 =!= 0)
+    }),
+
     // ——— source-mixture token budgeting ———
     // Training-mixture construction: given a token budget (40% of the
     // corpus) split EQUALLY across sources, each source keeps a
@@ -2428,6 +2453,45 @@ object SparkEntry {
       .orderBy("inner_doc", "outer_doc")
   }
 
+  /** Bigram-LM NLL with stupid backoff (q_quality_lm2's body, factored
+    * so the spec can inject a hand-built train split). `train` is a
+    * boolean Column over the doc frame selecting the model's training
+    * slice; every document is scored. Docs with < 2 tokens (or null
+    * text) have no bigrams and drop out, matching the oracle's WHERE.
+    */
+  private[graft] def bigramNll(docs: DataFrame, train: Column): DataFrame = {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("a"),
+      train.as("train"))
+    val bg = d.select(col("doc_id"), col("train"),
+        explode(when(size(col("a")) >= 2,
+          transform(sequence(lit(2), size(col("a"))),
+            i => struct(element_at(col("a"), i - 1).as("w1"),
+              element_at(col("a"), i).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("train"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val toks = d.select(col("train"), explode(col("a")).as("t"))
+    val c1 = toks.filter(col("train")).groupBy("t").agg(count(lit(1)).as("c1"))
+    val c2 = bg.filter(col("train")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    val tot = c1.agg(sum(col("c1")).as("total"))
+    bg.join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("t", "w1").withColumnRenamed("c1", "cw1"),
+        Seq("w1"), "left")
+      .join(c1.withColumnRenamed("t", "w2").withColumnRenamed("c1", "cw2"),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("c2").isNotNull,
+          log(col("c2").cast("double") / col("cw1").cast("double")))
+          .when(col("cw2").isNotNull,
+            log(lit(0.4) * col("cw2").cast("double") / col("total").cast("double")))
+          .otherwise(log(lit(0.4) / col("total").cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("lp")), 6).as("nll2"))
+      .orderBy("doc_id")
+  }
+
   private[graft] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val buckets = lshBandSigs(docs).groupBy("source", "band", "bkey")
@@ -3457,6 +3521,37 @@ object SparkEntry {
         |lp AS (SELECT t, ln(CAST(cnt AS DOUBLE) / total) AS lp FROM v CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks, round(-avg(lp), 6) AS nll
         |FROM toks JOIN lp USING (t) GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
+    // bigram stupid backoff: same 80% hash train slice ('lm2#' prefix
+    // decorrelates this hash stream from q_sample_hash/q_split's), the
+    // CASE mirrors the three arms exactly; 0.4::DOUBLE forces double
+    // (bare 0.4 is DECIMAL in DuckDB), and operand order matches the
+    // Spark side so every float op is the same correctly-rounded IEEE op
+    "q_quality_lm2" -> (
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS a,
+        |  (('0x' || substr(md5('lm2#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5) != 0 AS train
+        |  FROM documents),
+        |bg AS (SELECT doc_id, train, b.w1 AS w1, b.w2 AS w2 FROM (
+        |  SELECT doc_id, train,
+        |    unnest(list_transform(range(2, len(a) + 1),
+        |      i -> {'w1': a[i-1], 'w2': a[i]})) AS b
+        |  FROM d WHERE len(a) >= 2)),
+        |tk AS (SELECT train, unnest(a) AS t FROM d),
+        |c1 AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM tk WHERE train GROUP BY 1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg WHERE train GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS total FROM c1),
+        |sc AS (SELECT g.doc_id,
+        |  CASE WHEN c2.c2 IS NOT NULL THEN ln(CAST(c2.c2 AS DOUBLE) / CAST(w1c.c1 AS DOUBLE))
+        |       WHEN w2c.c1 IS NOT NULL THEN ln(0.4::DOUBLE * CAST(w2c.c1 AS DOUBLE) / CAST(total AS DOUBLE))
+        |       ELSE ln(0.4::DOUBLE / CAST(total AS DOUBLE)) END AS lp
+        |  FROM bg g
+        |  LEFT JOIN c2 ON c2.w1 = g.w1 AND c2.w2 = g.w2
+        |  LEFT JOIN c1 w1c ON w1c.t = g.w1
+        |  LEFT JOIN c1 w2c ON w2c.t = g.w2
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-avg(lp), 6) AS nll2
+        |FROM sc GROUP BY 1
         |ORDER BY 1""".stripMargin),
 
     "q_mix_budget" -> (

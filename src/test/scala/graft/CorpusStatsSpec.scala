@@ -357,6 +357,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Set((2L, 1L, 1.0), (4L, 5L, 1.0), (5L, 4L, 1.0)), s"got $got")
   }
 
+  test("bigram LM: hand fixture hits all three backoff arms") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      1L -> "a b a b",   // train
+      2L -> "a c",       // train
+      3L -> "a b z",     // held out: seen bigram + OOV floor
+      4L -> "c a",       // held out: unseen bigram, seen unigram backoff
+      5L -> "x"          // 1 token -> no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val got = SparkEntry.bigramNll(docs, col("doc_id") <= 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // model (train docs 1,2): c1 = a:3 b:2 c:1, total 6;
+    // c2 = (a,b):2 (b,a):1 (a,c):1
+    def nll(lps: Double*): Double = -(lps.sum / lps.size)
+    val exp = Map(
+      1L -> (3L, nll(math.log(2.0 / 3), math.log(1.0 / 2), math.log(2.0 / 3))),
+      2L -> (1L, nll(math.log(1.0 / 3))),
+      3L -> (2L, nll(math.log(2.0 / 3), math.log(0.4 / 6))),
+      4L -> (1L, nll(math.log(0.4 * 3 / 6))))
+    assert(got.keySet == exp.keySet, s"got ${got.keySet}")
+    exp.foreach { case (id, (n, v)) =>
+      assert(got(id)._1 == n, s"doc $id n_bigrams ${got(id)._1} != $n")
+      assert(math.abs(got(id)._2 - v) < 5e-7, s"doc $id nll2 ${got(id)._2} != $v")
+    }
+  }
+
   test("soft dedup: weights partition each cluster's unit mass, singletons keep 1") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q_soft_dedup")(spark, dir)
