@@ -706,6 +706,23 @@ object SparkEntry {
     "q_containment" -> ((s, dir) =>
       containmentPairs(Tables.documents(s, dir))),
 
+    // ——— corpus card: the per-source governance datasheet ———
+    // The table a mixture designer reads before weighting anything (the
+    // "datasheets for datasets" summary row): per source — volume (docs,
+    // tokens, mean length), exact-duplication rate (distinct fingerprints
+    // vs docs — the md5Long fingerprint pass IS the stats pass: level 1
+    // of a two-level aggregate groups (source, fp) and carries every
+    // per-doc statistic, level 2 re-aggregates per source, so dedup
+    // accounting costs no extra scan), hygiene (short-doc share), and
+    // language mix (majority lang by (count, lang) struct argmax — the
+    // q_dedup_keeper_best composite-key rule; DuckDB twin encodes it as
+    // a fixed-width printf key). TWO corpus passes total (fp-keyed +
+    // lang-keyed), both map-side-combinable two-level aggregates — no
+    // per-source windows, nothing grows beyond sources² at any corpus
+    // size; every share is one correctly-rounded division of exact
+    // integers.
+    "q_corpus_card" -> ((s, dir) => corpusCard(Tables.documents(s, dir))),
+
     // ——— deterministic stratified sampling (curation primitive) ———
     // Hash-mod sampling, NOT rand(): the decision is a pure function of
     // the row key, so the sample is identical at any parallelism / any
@@ -2453,6 +2470,41 @@ object SparkEntry {
       .orderBy("inner_doc", "outer_doc")
   }
 
+  /** Per-source governance datasheet (q_corpus_card's body, factored so
+    * the spec can drive it with crafted frames). Input needs
+    * (source, text, lang).
+    */
+  private[graft] def corpusCard(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFns.fingerprint
+    val d = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("tok_cnt"),
+      fingerprint(col("text")).as("fp"), col("lang"))
+    val byFp = d.groupBy("source", "fp").agg(
+      count(lit(1)).as("n"), sum(col("tok_cnt")).as("toks"),
+      sum(when(col("tok_cnt") < 50, 1L).otherwise(0L)).as("short"))
+    val stats = byFp.groupBy("source").agg(
+      sum(col("n")).as("n_docs"), sum(col("toks")).as("total_tokens"),
+      sum(col("short")).as("short_docs"),
+      count(lit(1)).as("n_distinct_fp"))
+    val top = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(max(struct(col("c"), col("lang"))).as("m"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        col("m.c").as("top_lang_cnt"))
+    stats.join(broadcast(top), Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_tokens"),
+        round(col("short_docs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("short_share"),
+        col("n_distinct_fp"),
+        round(lit(1.0) - col("n_distinct_fp").cast("double") / col("n_docs").cast("double"), 6)
+          .as("exact_dup_rate"),
+        col("top_lang"),
+        round(col("top_lang_cnt").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_lang_share"))
+      .orderBy("source")
+  }
+
   /** Bigram-LM NLL with stupid backoff (q_quality_lm2's body, factored
     * so the spec can inject a hand-built train split). `train` is a
     * boolean Column over the doc frame selecting the model's training
@@ -3191,6 +3243,37 @@ object SparkEntry {
          |  round(1.0::DOUBLE / cs.cluster_size, 6) AS weight
          |FROM lab l JOIN cs USING (cluster)
          |ORDER BY l.doc_id""".stripMargin),
+
+    // two two-level aggregates mirroring the Spark passes; the majority
+    // lang re-encodes the (count, lang) struct argmax as a fixed-width
+    // printf key (zero-padded count then lang — same total order);
+    // 1.0::DOUBLE forces double subtraction (bare 1.0 is DECIMAL)
+    "q_corpus_card" -> (
+      """WITH d AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp, lang
+        |  FROM documents),
+        |f AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS toks,
+        |  CAST(sum(CASE WHEN tok_cnt < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short
+        |  FROM d GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(short) AS BIGINT) AS short_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_fp FROM f GROUP BY 1),
+        |l AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |t AS (SELECT source, max(printf('%020d', c) || lang) AS mk FROM l GROUP BY 1),
+        |tt AS (SELECT source, substr(mk, 21) AS top_lang,
+        |  CAST(substr(mk, 1, 20) AS BIGINT) AS top_lang_cnt FROM t)
+        |SELECT s.source, n_docs, total_tokens,
+        |  round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
+        |  round(CAST(short_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS short_share,
+        |  n_distinct_fp,
+        |  round(1.0::DOUBLE - CAST(n_distinct_fp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate,
+        |  top_lang,
+        |  round(CAST(top_lang_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS top_lang_share
+        |FROM s JOIN tt USING (source)
+        |ORDER BY source""".stripMargin),
 
     // rare-shingle blocked containment: trigram postings over the 60-bit
     // hash (the q_ngram_novelty gram CTE), df ∈ [2,10] blocking, exact

@@ -357,6 +357,46 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Set((2L, 1L, 1.0), (4L, 5L, 1.0), (5L, 4L, 1.0)), s"got $got")
   }
 
+  test("corpus card: volumes partition the corpus, dup rate fires, shares bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val rows = SparkEntry.queries("q_corpus_card")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count(),
+      "per-source n_docs must partition the corpus")
+    assert(rows.map(_.getLong(5)).sum ==
+      docs.selectExpr("source", "text").distinct().count(),
+      "distinct fingerprints must match distinct (source, text)")
+    rows.foreach { r =>
+      val (nDocs, fp) = (r.getLong(1), r.getLong(5))
+      assert(fp <= nDocs)
+      Seq(4, 6, 8).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"share col $i out of range: $v")
+      }
+      assert(r.getDouble(3) > 0.0, "mean_tokens positive")
+    }
+    // the fixture's duplicates are NEAR-dups (token edits), never exact
+    // text copies — the card must report that truthfully as rate 0
+    assert(rows.forall(_.getDouble(6) == 0.0),
+      "fixture has no exact text dups, rate must be exactly 0")
+    // and the rate + majority-lang rules fire on a crafted frame: 2 exact
+    // copies among 3 docs, langs 2:1 with a count tie broken by lang
+    val crafted = Seq(
+      ("x y", "en", "s"), ("x y", "de", "s"), ("p q", "de", "s"),
+      (("a " * 60).trim, "en", "t"), ("b", "en", "t")
+    ).toDF("text", "lang", "source")
+    val card = SparkEntry.corpusCard(crafted)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sRow = card("s")
+    assert(sRow.getLong(5) == 2 && math.abs(sRow.getDouble(6) - 0.333333) < 1e-9,
+      s"dup rate: $sRow")
+    assert(sRow.getString(7) == "de" && math.abs(sRow.getDouble(8) - 0.666667) < 1e-9,
+      "majority lang with exact share")
+    val tRow = card("t")
+    assert(math.abs(tRow.getDouble(4) - 0.5) < 1e-9, "one of two t-docs is short")
+    assert(tRow.getDouble(6) == 0.0 && tRow.getString(7) == "en")
+  }
+
   test("bigram LM: hand fixture hits all three backoff arms") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
