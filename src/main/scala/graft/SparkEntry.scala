@@ -706,6 +706,18 @@ object SparkEntry {
     "q_containment" -> ((s, dir) =>
       containmentPairs(Tables.documents(s, dir))),
 
+    // ——— containment pruning: act on the detection ———
+    // The kept-documents set after containment dedup: a STRICTLY
+    // contained doc (one direction only — the wire story inside the
+    // aggregator page) is removed in favor of its superset; a MUTUAL
+    // pair (exact/near-exact dups, both directions ≥ 0.9) keeps the
+    // min id — one deterministic total rule, so chains and mixed cases
+    // resolve identically at any parallelism/engine. The increment over
+    // q_containment is pairs-sized (one pairs self-join on the reversed
+    // key + one corpus anti-join) — nothing new grows with the corpus.
+    "q_contain_prune" -> ((s, dir) =>
+      containPrune(Tables.documents(s, dir))),
+
     // ——— corpus card: the per-source governance datasheet ———
     // The table a mixture designer reads before weighting anything (the
     // "datasheets for datasets" summary row): per source — volume (docs,
@@ -2470,6 +2482,31 @@ object SparkEntry {
       .orderBy("inner_doc", "outer_doc")
   }
 
+  /** Containment-dedup keeper set (q_contain_prune's body): remove every
+    * strictly contained doc; mutual-containment groups keep the min id.
+    * Rides [[containmentPairs]]; the rule is pairs-local.
+    */
+  private[graft] def containPrune(docs: DataFrame): DataFrame = {
+    // One aggregate over the unordered pair key replaces the
+    // pairs⋈reversed-pairs self-join (which would re-plan the whole
+    // containment pipeline per side): per {lo, hi}, which directions
+    // cleared the threshold decides the removal —
+    //   lo⊂hi only → remove lo;  hi⊂lo only → remove hi;
+    //   mutual (near-exact dups) → remove hi (keep the min id).
+    val removed = containmentPairs(docs)
+      .select(least(col("inner_doc"), col("outer_doc")).as("lo"),
+        greatest(col("inner_doc"), col("outer_doc")).as("hi"),
+        (col("inner_doc") < col("outer_doc")).as("fwd"))
+      .groupBy("lo", "hi")
+      .agg(max(when(col("fwd"), 1L).otherwise(0L)).as("lo_in_hi"),
+        max(when(!col("fwd"), 1L).otherwise(0L)).as("hi_in_lo"))
+      .select(when(col("lo_in_hi") === 1L && col("hi_in_lo") === 0L, col("lo"))
+        .otherwise(col("hi")).as("doc_id"))
+      .distinct()
+    docs.select("doc_id").join(removed, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Per-source governance datasheet (q_corpus_card's body, factored so
     * the spec can drive it with crafted frames). Input needs
     * (source, text, lang).
@@ -2677,6 +2714,36 @@ object SparkEntry {
        |)
        |SELECT doc_id, min(r) AS keeper FROM reach GROUP BY 1
        |ORDER BY doc_id""".stripMargin
+
+  /** Oracle twin of [[containmentPairs]] up to `j` (per-candidate exact
+    * trigram intersection + both docs' distinct-trigram counts), shared
+    * by the q_containment and q_contain_prune oracles so the blocking
+    * rule and threshold arithmetic cannot desync.
+    */
+  private val containmentCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      |    FROM toks)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |rare AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM g GROUP BY 1)
+      |         WHERE df BETWEEN 2 AND 10),
+      |rg AS (SELECT g.doc_id, g.gh FROM g JOIN rare ON rare.gh = g.gh),
+      |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM rg x JOIN rg y ON y.gh = x.gh AND x.doc_id < y.doc_id),
+      |inter AS (SELECT c.da, c.db, count(*) AS i
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.da
+      |  JOIN g gb ON gb.doc_id = c.db AND gb.gh = ga.gh
+      |  GROUP BY 1, 2),
+      |j AS (SELECT i.da, i.db, i.i, sa.n AS na, sb.n AS nb
+      |  FROM inter i
+      |  JOIN sz sa ON sa.doc_id = i.da
+      |  JOIN sz sb ON sb.doc_id = i.db)""".stripMargin
 
   private val neardupPairsCtes: String =
     """toks AS (
@@ -3280,35 +3347,31 @@ object SparkEntry {
     // intersection on candidates, integer 10·i ≥ 9·n threshold — the
     // round(,6) score is reporting only, never the cut
     "q_containment" -> (
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE text IS NOT NULL),
-        |g AS (
-        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM (
-        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
-        |    FROM toks)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-        |rare AS (SELECT gh FROM (SELECT gh, count(*) AS df FROM g GROUP BY 1)
-        |         WHERE df BETWEEN 2 AND 10),
-        |rg AS (SELECT g.doc_id, g.gh FROM g JOIN rare ON rare.gh = g.gh),
-        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-        |  FROM rg x JOIN rg y ON y.gh = x.gh AND x.doc_id < y.doc_id),
-        |inter AS (SELECT c.da, c.db, count(*) AS i
-        |  FROM cand c
-        |  JOIN g ga ON ga.doc_id = c.da
-        |  JOIN g gb ON gb.doc_id = c.db AND gb.gh = ga.gh
-        |  GROUP BY 1, 2),
-        |j AS (SELECT i.da, i.db, i.i, sa.n AS na, sb.n AS nb
-        |  FROM inter i
-        |  JOIN sz sa ON sa.doc_id = i.da
-        |  JOIN sz sb ON sb.doc_id = i.db)
-        |SELECT da AS inner_doc, db AS outer_doc,
-        |  round(i::DOUBLE / na, 6) AS containment
-        |FROM j WHERE i * 10 >= na * 9
-        |UNION ALL
-        |SELECT db, da, round(i::DOUBLE / nb, 6) FROM j WHERE i * 10 >= nb * 9
-        |ORDER BY inner_doc, outer_doc""".stripMargin),
+      s"""WITH $containmentCtes
+         |SELECT da AS inner_doc, db AS outer_doc,
+         |  round(i::DOUBLE / na, 6) AS containment
+         |FROM j WHERE i * 10 >= na * 9
+         |UNION ALL
+         |SELECT db, da, round(i::DOUBLE / nb, 6) FROM j WHERE i * 10 >= nb * 9
+         |ORDER BY inner_doc, outer_doc""".stripMargin),
+
+    // the act-on-detection half: directed containment pairs from the
+    // shared CTEs, strict containment removes the inner doc, mutual
+    // containment (exact/near-exact dups) keeps the min id
+    "q_contain_prune" -> (
+      s"""WITH $containmentCtes,
+         |cp AS (
+         |  SELECT da AS inner_doc, db AS outer_doc FROM j WHERE i * 10 >= na * 9
+         |  UNION ALL
+         |  SELECT db, da FROM j WHERE i * 10 >= nb * 9),
+         |removed AS (
+         |  SELECT DISTINCT a.inner_doc AS doc_id
+         |  FROM cp a LEFT JOIN cp b
+         |    ON b.inner_doc = a.outer_doc AND b.outer_doc = a.inner_doc
+         |  WHERE b.inner_doc IS NULL OR a.inner_doc > a.outer_doc)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin),
 
     // Same recursive closure as the clusters oracle, then the hash-mod
     // split keyed on the cluster KEEPER (hashing 'split#<keeper>' — the

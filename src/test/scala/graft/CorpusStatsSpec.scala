@@ -355,6 +355,10 @@ class CorpusStatsSpec extends SparkSpec {
     // 8 trigrams with doc 1 (0.375 < 0.9) — candidate generated (df=2,
     // rare) but threshold drops it; exact dups 4/5 emit both directions
     assert(got == Set((2L, 1L, 1.0), (4L, 5L, 1.0), (5L, 4L, 1.0)), s"got $got")
+    // prune acts on the detection: strictly contained 2 removed in favor
+    // of 1, mutual pair {4,5} keeps the min id, untouched 3 survives
+    val kept = SparkEntry.containPrune(docs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"kept $kept")
   }
 
   test("corpus card: volumes partition the corpus, dup rate fires, shares bounded") {
