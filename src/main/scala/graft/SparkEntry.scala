@@ -1210,7 +1210,7 @@ object SparkEntry {
           size(split(col("text"), " ")).cast("long").as("tok_cnt"))
       val bySrc = d.groupBy(col("source")).agg(sum(col("tok_cnt")).as("src_toks"))
       val g = bySrc.agg(count(lit(1)).as("n_src"), sum(col("src_toks")).as("total"))
-      val thr = bySrc.crossJoin(g)
+      val thr = bySrc.crossJoin(broadcast(g))
         .select(col("source"),
           least(expr("1000000 * ((total * 2) div 5) div (n_src * src_toks)"),
             lit(1000000L)).as("thr"))
@@ -1242,7 +1242,7 @@ object SparkEntry {
         count(lit(1)).as("n_docs"), sum(col("tok_cnt")).as("src_toks"))
       val g = bySrc.agg(sum(sqrt(col("src_toks").cast("double"))).as("wsum"),
         expr("(sum(n_docs) * 2) div 5").as("n_target"))
-      val thr = bySrc.crossJoin(g)
+      val thr = bySrc.crossJoin(broadcast(g))
         .select(col("source"),
           least(floor(lit(1000000.0) * col("n_target").cast("double") *
               sqrt(col("src_toks").cast("double")) /
@@ -1344,7 +1344,7 @@ object SparkEntry {
         .filter(qOk)
       val bySrc = keepers.groupBy(col("source")).agg(sum(col("tok_cnt")).as("src_toks"))
       val g = bySrc.agg(count(lit(1)).as("n_src"), sum(col("src_toks")).as("total"))
-      val thr = bySrc.crossJoin(g)
+      val thr = bySrc.crossJoin(broadcast(g))
         .select(col("source"),
           least(expr("1000000 * ((total * 2) div 5) div (n_src * src_toks)"),
             lit(1000000L)).as("thr"))
