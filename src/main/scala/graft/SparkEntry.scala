@@ -718,6 +718,22 @@ object SparkEntry {
     "q_contain_prune" -> ((s, dir) =>
       containPrune(Tables.documents(s, dir))),
 
+    // ——— Gopher document-filter battery (MassiveText rules) ———
+    // The pre-dedup hygiene gate every large text pipeline runs first
+    // (Rae et al. 2021, MassiveText §A1.1): per document, the rules
+    // computable over whitespace tokens — length window, mean word
+    // length window, symbol-token share, alphabetic-token share,
+    // stopword presence — each exposed as its own flag (pipelines tune
+    // per-rule, so the battery must show WHICH rule fired) plus the
+    // conjunction. Line-structure rules (bullet/ellipsis starts) are
+    // out of scope: the transcript corpus is single-line by
+    // construction. EVERY threshold is exact integer arithmetic
+    // (3n ≤ Σlen ≤ 10n, 10·sym ≤ n, 5·alpha ≥ 4n) — no float boundary
+    // can desync engines. One scan, row-local token work, one output
+    // row per doc — scan speed at any corpus size.
+    "q_gopher_filters" -> ((s, dir) =>
+      gopherFilters(Tables.documents(s, dir))),
+
     // ——— corpus card: the per-source governance datasheet ———
     // The table a mixture designer reads before weighting anything (the
     // "datasheets for datasets" summary row): per source — volume (docs,
@@ -2482,6 +2498,35 @@ object SparkEntry {
       .orderBy("inner_doc", "outer_doc")
   }
 
+  /** Gopher/MassiveText document-filter battery (q_gopher_filters's
+    * body, factored so the spec can drive rule boundaries with crafted
+    * docs). Input needs (doc_id, text).
+    */
+  private[graft] def gopherFilters(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val n = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val symCnt = size(filter(t, x =>
+      x.contains("#") || x.contains("..."))).cast("long")
+    val alphaCnt = size(filter(t, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+    val stopCnt = size(filter(t, x =>
+      x.isin("the", "a", "is", "of", "and", "to", "in"))).cast("long")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), n.as("n_tok"), sumLen.as("sum_len"),
+        symCnt.as("sym"), alphaCnt.as("alpha"), stopCnt.as("stop"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") >= 50 && col("n_tok") <= 100000).as("f_len"),
+        (col("sum_len") >= lit(3L) * col("n_tok") &&
+          col("sum_len") <= lit(10L) * col("n_tok")).as("f_word_len"),
+        (lit(10L) * col("sym") <= col("n_tok")).as("f_symbol"),
+        (lit(5L) * col("alpha") >= lit(4L) * col("n_tok")).as("f_alpha"),
+        (col("stop") >= 2L).as("f_stopwords"))
+      .withColumn("passes",
+        col("f_len") && col("f_word_len") && col("f_symbol") &&
+          col("f_alpha") && col("f_stopwords"))
+      .orderBy("doc_id")
+  }
+
   /** Containment-dedup keeper set (q_contain_prune's body): remove every
     * strictly contained doc; mutual-containment groups keep the min id.
     * Rides [[containmentPairs]]; the rule is pairs-local.
@@ -3310,6 +3355,31 @@ object SparkEntry {
          |  round(1.0::DOUBLE / cs.cluster_size, 6) AS weight
          |FROM lab l JOIN cs USING (cluster)
          |ORDER BY l.doc_id""".stripMargin),
+
+    // every threshold is the same exact-integer comparison the Spark
+    // side runs (3n ≤ Σlen ≤ 10n etc.) — booleans, no float boundary
+    "q_gopher_filters" -> (
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tok,
+        |  CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(t, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS sym,
+        |  CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS alpha,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','is','of','and','to','in'))) AS BIGINT) AS stop
+        |  FROM d)
+        |SELECT doc_id, n_tok,
+        |  n_tok BETWEEN 50 AND 100000 AS f_len,
+        |  (sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok) AS f_word_len,
+        |  (10 * sym <= n_tok) AS f_symbol,
+        |  (5 * alpha >= 4 * n_tok) AS f_alpha,
+        |  (stop >= 2) AS f_stopwords,
+        |  (n_tok BETWEEN 50 AND 100000
+        |   AND sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+        |   AND 10 * sym <= n_tok AND 5 * alpha >= 4 * n_tok
+        |   AND stop >= 2) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin),
 
     // two two-level aggregates mirroring the Spark passes; the majority
     // lang re-encodes the (count, lang) struct argmax as a fixed-width

@@ -401,6 +401,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(tRow.getDouble(6) == 0.0 && tRow.getString(7) == "en")
   }
 
+  test("gopher filters: every rule boundary exact — inclusive edges hold") {
+    def mk(toks: Seq[String]) = toks.mkString(" ")
+    val w48 = Seq.fill(48)("word"); val w43 = Seq.fill(43)("word")
+    val docs = Seq(
+      // 50 toks, mean len 3.92, 0 sym, all alpha, 2 stopwords → passes
+      1L -> mk(Seq("the", "a") ++ w48),
+      // 49 toks → f_len fails alone
+      2L -> mk(Seq("the", "a") ++ w48.drop(1)),
+      // exactly 10% symbol tokens (5 of 50) → f_symbol HOLDS (inclusive)
+      3L -> mk(Seq("the", "a") ++ w43 ++ Seq.fill(5)("#tag")),
+      // 6 of 50 symbol tokens → f_symbol fails; alpha 44/50 still ≥ 0.8
+      4L -> mk(Seq("the", "a") ++ w43.drop(1) ++ Seq.fill(6)("#tag")),
+      // mean word length 2 < 3 → f_word_len fails; no stopwords either
+      5L -> mk(Seq.fill(50)("ab"))
+    ).toDF("doc_id", "text")
+    val got = SparkEntry.gopherFilters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+      .toMap
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(got(2L) == ((false, true, true, true, true, false)))
+    assert(got(3L) == ((true, true, true, true, true, true)),
+      s"10% symbols must pass inclusively: ${got(3L)}")
+    assert(got(4L) == ((true, true, false, true, true, false)))
+    assert(got(5L) == ((true, false, true, true, false, false)))
+  }
+
   test("bigram LM: hand fixture hits all three backoff arms") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
