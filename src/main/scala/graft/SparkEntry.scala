@@ -56,7 +56,7 @@ object SparkEntry {
     * quadratic split-inlined expression back in — measured 9.0s vs 1.7s
     * for q_ngram_novelty at sf0.1, plan-pinned by PlanShapeSpec.
     */
-  private def trigramArr(a: Column): Column =
+  private[graft] def trigramArr(a: Column): Column =
     when(size(a) >= 3,
       array_distinct(transform(sequence(lit(1), size(a) - 2),
         i => concat_ws(" ", element_at(a, i),
@@ -2467,9 +2467,13 @@ object SparkEntry {
     // re-joining per-gram postings and regrouping on (da, db, gh): the
     // array form ships each side once per pair instead of one shuffled
     // row per gram per pair.
+    // split projected as an attribute BEFORE trigramArr (the HOF CSE
+    // trap trigramArr's doc pins: an inlined split re-evaluates per
+    // lambda element — O(tokens²)/doc)
     val sets = docs
+      .select(col("doc_id"), split(col("text"), " ").as("sa"))
       .select(col("doc_id"),
-        array_distinct(transform(trigramArr(split(col("text"), " ")),
+        array_distinct(transform(trigramArr(col("sa")),
           t => md5Long(t))).as("s"))
     // Both fan-outs below are EXPLODES, not self-unions: a union re-plans
     // its input subtree per branch (cand holds 4 explode stages — a
@@ -2503,15 +2507,21 @@ object SparkEntry {
     * docs). Input needs (doc_id, text).
     */
   private[graft] def gopherFilters(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
+    // token array projected ONCE as an attribute — the five HOF measures
+    // below are CodegenFallback, so an inlined split would re-tokenize
+    // every row ~5× (the trigramArr CSE trap). \A...\z anchors, not
+    // ^...$: Java's non-MULTILINE $ matches before a final \n where
+    // RE2's does not — a trailing-newline token would desync engines.
+    val t = col("a")
     val n = size(t).cast("long")
     val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
     val symCnt = size(filter(t, x =>
       x.contains("#") || x.contains("..."))).cast("long")
-    val alphaCnt = size(filter(t, x => x.rlike("^[A-Za-z]+$"))).cast("long")
+    val alphaCnt = size(filter(t, x => x.rlike("\\A[A-Za-z]+\\z"))).cast("long")
     val stopCnt = size(filter(t, x =>
       x.isin("the", "a", "is", "of", "and", "to", "in"))).cast("long")
     docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), n.as("n_tok"), sumLen.as("sum_len"),
         symCnt.as("sym"), alphaCnt.as("alpha"), stopCnt.as("stop"))
       .select(col("doc_id"), col("n_tok"),
@@ -3366,7 +3376,7 @@ object SparkEntry {
         |  CAST(len(t) AS BIGINT) AS n_tok,
         |  CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS sum_len,
         |  CAST(len(list_filter(t, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS sym,
-        |  CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS alpha,
+        |  CAST(len(list_filter(t, x -> regexp_matches(x, '\A[A-Za-z]+\z'))) AS BIGINT) AS alpha,
         |  CAST(len(list_filter(t, x -> x IN ('the','a','is','of','and','to','in'))) AS BIGINT) AS stop
         |  FROM d)
         |SELECT doc_id, n_tok,

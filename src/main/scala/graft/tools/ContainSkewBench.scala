@@ -68,15 +68,14 @@ object ContainSkewBench {
 
     // the df histogram the blocker sees (one postings aggregate):
     // pairs a naive df>=2 blocker would emit vs the shipped df<=10 gate
+    // the SHIPPED shingling (SparkEntry.trigramArr + md5Long), so the df
+    // histogram this bench reports cannot drift from what the blocker
+    // actually sees
     import graft.functions.TextFns.md5Long
     val dfh = docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .select(col("doc_id"), explode(
-        when(size(col("a")) >= 3, array_distinct(transform(
-          sequence(lit(1), size(col("a")) - 2),
-          i => concat_ws(" ", element_at(col("a"), i),
-            element_at(col("a"), i + 1), element_at(col("a"), i + 2)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"),
+        explode(graft.SparkEntry.trigramArr(col("a"))).as("gram"))
       .select(md5Long(col("gram")).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("df"))
     val agg = dfh.filter(col("df") >= 2).agg(
