@@ -2315,6 +2315,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ——— quality-threshold operating curve (retention sweep) ———
+    // The decision table BEHIND q_quality_calibrate's threshold: for
+    // every per-source quality cut t ∈ {0.0, 0.1, …, 0.9}, how many
+    // documents and tokens survive — the "how much do I lose at each
+    // bar" curve a mixture designer reads before fixing q_pct ≥ t.
+    // Buckets are EXACT INTEGER percent-rank tenths:
+    // (10·(rank−1)) div (n−1), capped at 9 — never floor(q_pct·10),
+    // whose ×10-then-floor of an inexact double is a float boundary.
+    // Each doc fans out to the thresholds it passes (explode ≤ 10 rows,
+    // collapsed map-side by the partial aggregate — the shuffle is
+    // sources×10 at ANY corpus size); one per-source window sort (the
+    // calibrate shape, same documented approx-ECDF swap at 10¹² docs);
+    // a threshold row exists iff some doc passes it (single-doc sources
+    // emit only t = 0.0 — bucket (n−1)=0 guard).
+    "q_quality_sweep" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok_cnt"),
+        round(TextFns.qualityScore(col("text")), 6).as("q"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").asc, col("doc_id").asc)
+      val per = Window.partitionBy(col("source"))
+      val b = d
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(per))
+        .withColumn("bucket",
+          least(expr("(10 * (rk - 1)) div greatest(n - 1, 1)"), lit(9L)))
+      val tot = b.groupBy("source").agg(sum(col("tok_cnt")).as("src_toks"))
+      b.select(col("source"), col("tok_cnt"),
+          explode(sequence(lit(0L), col("bucket"))).as("thr_tenths"))
+        .groupBy("source", "thr_tenths")
+        .agg(count(lit(1)).as("docs_kept"), sum(col("tok_cnt")).as("tokens_kept"))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("thr_tenths"), col("docs_kept"),
+          col("tokens_kept"),
+          round(col("tokens_kept").cast("double") / col("src_toks").cast("double"), 6)
+            .as("token_share"))
+        .orderBy("source", "thr_tenths")
+    }),
+
     // ——— MinHash estimator calibration: estimated vs exact Jaccard ———
     // The companion measurement to q_knn_recall, for the dedup side:
     // MinHash-LSH keeps/drops documents based on an 8-seed ESTIMATE of
@@ -4772,6 +4813,34 @@ object SparkEntry {
         |  round(percent_rank() OVER (PARTITION BY source
         |    ORDER BY q ASC NULLS FIRST, doc_id ASC), 6) AS q_pct
         |FROM d ORDER BY doc_id""".stripMargin),
+
+    // the same integer bucket rule ((10·(rank−1)) // greatest(n−1,1),
+    // cap 9) over the calibrate quality expression; NULLS FIRST pins
+    // DuckDB's ASC order to Spark's asc default
+    "q_quality_sweep" -> (
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt,
+        |  round(ln(1.0 + len(string_split(text, ' '))) *
+        |        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','is','of','and','to','in'))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 6) AS q
+        |  FROM documents),
+        |b AS (SELECT source, tok_cnt,
+        |  least((10 * (row_number() OVER (PARTITION BY source
+        |      ORDER BY q ASC NULLS FIRST, doc_id ASC) - 1))
+        |    // greatest(count(*) OVER (PARTITION BY source) - 1, 1), 9) AS bucket
+        |  FROM d),
+        |tot AS (SELECT source, CAST(sum(tok_cnt) AS BIGINT) AS src_toks
+        |  FROM b GROUP BY 1),
+        |e AS (SELECT source, tok_cnt, unnest(range(0, bucket + 1)) AS thr
+        |  FROM b)
+        |SELECT e.source, CAST(thr AS BIGINT) AS thr_tenths,
+        |  CAST(count(*) AS BIGINT) AS docs_kept,
+        |  CAST(sum(tok_cnt) AS BIGINT) AS tokens_kept,
+        |  round(CAST(sum(tok_cnt) AS DOUBLE) / CAST(src_toks AS DOUBLE), 6) AS token_share
+        |FROM e JOIN tot ON tot.source = e.source
+        |GROUP BY 1, 2, src_toks
+        |ORDER BY 1, 2""".stripMargin),
 
     // estimator calibration over the live candidate set: matching-seed
     // share vs the verify stage's exact Jaccard (unfiltered `ver`)

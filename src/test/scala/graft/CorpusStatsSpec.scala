@@ -401,6 +401,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(tRow.getDouble(6) == 0.0 && tRow.getString(7) == "en")
   }
 
+  test("quality sweep: monotone retention curve, exact top/bottom anchors") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_quality_sweep")(spark, dir).collect()
+      .groupBy(_.getString(0))
+    val nDocs = Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == nDocs.keySet)
+    rows.foreach { case (src, rs) =>
+      val byThr = rs.sortBy(_.getLong(1))
+      // threshold 0 keeps everything — docs AND the full token mass
+      assert(byThr.head.getLong(1) == 0L && byThr.head.getLong(2) == nDocs(src))
+      assert(math.abs(byThr.head.getDouble(4) - 1.0) < 1e-9)
+      // retention is monotone non-increasing in the threshold
+      byThr.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getLong(2) >= b.getLong(2) && a.getLong(3) >= b.getLong(3),
+          s"$src: retention must fall as the bar rises")
+        case _ =>
+      }
+      // the top decile keeps ~10% of docs (integer-bucket exact: the
+      // count of ranks with (10(rk-1)) div (n-1) >= 9, always >= 1)
+      val top = byThr.last
+      assert(top.getLong(1) == 9L && top.getLong(2) >= 1L &&
+        top.getLong(2) <= nDocs(src) / 5,
+        s"$src top decile ${top.getLong(2)} of ${nDocs(src)}")
+    }
+  }
+
   test("gopher filters: every rule boundary exact — inclusive edges hold") {
     def mk(toks: Seq[String]) = toks.mkString(" ")
     val w48 = Seq.fill(48)("word"); val w43 = Seq.fill(43)("word")
