@@ -2328,7 +2328,12 @@ object SparkEntry {
     // sources×10 at ANY corpus size); one per-source window sort (the
     // calibrate shape, same documented approx-ECDF swap at 10¹² docs);
     // a threshold row exists iff some doc passes it (single-doc sources
-    // emit only t = 0.0 — bucket (n−1)=0 guard).
+    // emit only t = 0.0 — bucket (n−1)=0 guard). Membership is the
+    // EXACT rank ratio, not calibrate's 6-dp-rounded published q_pct:
+    // at n−1 ≥ 2×10⁶ a boundary doc within 5e-7 of a tenth can round
+    // up in q_pct while the sweep (and any exact selection) counts it
+    // below the bar — the integer rule here is the authoritative,
+    // float-boundary-free selection.
     "q_quality_sweep" -> ((s, dir) => {
       import graft.functions.TextFns
       val d = Tables.documents(s, dir).select(
@@ -2343,12 +2348,15 @@ object SparkEntry {
         .withColumn("n", count(lit(1)).over(per))
         .withColumn("bucket",
           least(expr("(10 * (rk - 1)) div greatest(n - 1, 1)"), lit(9L)))
-      val tot = b.groupBy("source").agg(sum(col("tok_cnt")).as("src_toks"))
+      // src_toks IS the t=0 row's token sum (every doc has bucket ≥ 0),
+      // read back via a window over the sources×10 frame — a second
+      // corpus scan just to re-total tokens would double the query's I/O
       b.select(col("source"), col("tok_cnt"),
           explode(sequence(lit(0L), col("bucket"))).as("thr_tenths"))
         .groupBy("source", "thr_tenths")
         .agg(count(lit(1)).as("docs_kept"), sum(col("tok_cnt")).as("tokens_kept"))
-        .join(broadcast(tot), Seq("source"))
+        .withColumn("src_toks",
+          max(when(col("thr_tenths") === 0L, col("tokens_kept"))).over(per))
         .select(col("source"), col("thr_tenths"), col("docs_kept"),
           col("tokens_kept"),
           round(col("tokens_kept").cast("double") / col("src_toks").cast("double"), 6)
@@ -4830,16 +4838,17 @@ object SparkEntry {
         |      ORDER BY q ASC NULLS FIRST, doc_id ASC) - 1))
         |    // greatest(count(*) OVER (PARTITION BY source) - 1, 1), 9) AS bucket
         |  FROM d),
-        |tot AS (SELECT source, CAST(sum(tok_cnt) AS BIGINT) AS src_toks
-        |  FROM b GROUP BY 1),
         |e AS (SELECT source, tok_cnt, unnest(range(0, bucket + 1)) AS thr
-        |  FROM b)
-        |SELECT e.source, CAST(thr AS BIGINT) AS thr_tenths,
+        |  FROM b),
+        |g AS (SELECT source, CAST(thr AS BIGINT) AS thr_tenths,
         |  CAST(count(*) AS BIGINT) AS docs_kept,
-        |  CAST(sum(tok_cnt) AS BIGINT) AS tokens_kept,
-        |  round(CAST(sum(tok_cnt) AS DOUBLE) / CAST(src_toks AS DOUBLE), 6) AS token_share
-        |FROM e JOIN tot ON tot.source = e.source
-        |GROUP BY 1, 2, src_toks
+        |  CAST(sum(tok_cnt) AS BIGINT) AS tokens_kept
+        |  FROM e GROUP BY 1, 2)
+        |SELECT source, thr_tenths, docs_kept, tokens_kept,
+        |  round(CAST(tokens_kept AS DOUBLE) / CAST(
+        |    max(CASE WHEN thr_tenths = 0 THEN tokens_kept END)
+        |      OVER (PARTITION BY source) AS DOUBLE), 6) AS token_share
+        |FROM g
         |ORDER BY 1, 2""".stripMargin),
 
     // estimator calibration over the live candidate set: matching-seed

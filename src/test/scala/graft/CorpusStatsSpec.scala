@@ -421,7 +421,13 @@ class CorpusStatsSpec extends SparkSpec {
         case _ =>
       }
       // the top decile keeps ~10% of docs (integer-bucket exact: the
-      // count of ranks with (10(rk-1)) div (n-1) >= 9, always >= 1)
+      // count of ranks with (10(rk-1)) div (n-1) >= 9, always >= 1).
+      // The anchors assume ≥ 5 docs per source — smaller sources emit
+      // fewer threshold rows by contract; make that precondition loud
+      // instead of letting a regenerated tiny-source fixture produce a
+      // misleading anchor failure.
+      assert(nDocs(src) >= 5,
+        s"fixture precondition: source $src has only ${nDocs(src)} docs")
       val top = byThr.last
       assert(top.getLong(1) == 9L && top.getLong(2) >= 1L &&
         top.getLong(2) <= nDocs(src) / 5,

@@ -229,6 +229,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window") == 0, s"soft dedup must not plan a window:\n$p")
   }
 
+  test("quality sweep: ONE corpus scan, no joins, bounded windows") {
+    val p = plan("q_quality_sweep")
+    // src_toks reads back off the t=0 row via a window over the
+    // sources×10 frame — a join to a re-totalling subtree would scan
+    // the corpus twice
+    assert(count(p, "Scan parquet") == 1,
+      s"sweep must not re-scan the corpus for totals:\n$p")
+    assert(count(p, "Join") == 0, s"sweep needs no join:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+    // rank+count windows on the corpus + the share window on the tiny
+    // aggregated frame
+    assert(count(p, "Window") <= 3, s"window count regressed:\n$p")
+  }
+
   test("length buckets: one scan, one aggregate pair, no joins") {
     val p = plan("q_length_buckets")
     assert(count(p, "Join") == 0, s"bucketing is a pure aggregation:\n$p")
