@@ -492,9 +492,13 @@ object SparkEntry {
       val cand = buckets.select(explode(col("vs")).as("va"), col("vs"))
         .select(col("va"), explode(filter(col("vs"), v => v > col("va"))).as("vb"))
         .distinct()
-      val wanted = cand.select(col("va").as("vec_id"), col("va"), col("vb"))
-        .unionByName(cand.select(col("vb").as("vec_id"), col("va"), col("vb")))
-      e.join(wanted, Seq("vec_id"))
+      // pair-side fan-out as an explode of the one planned candidate
+      // subtree + SHUFFLE_HASH verify join (the lshVerify r7 rationale:
+      // a self-union re-plans the banding pipeline per branch, and
+      // broadcast planning funnels the verify into one task)
+      val wanted = cand.select(
+        explode(array(col("va"), col("vb"))).as("vec_id"), col("va"), col("vb"))
+      e.join(wanted.hint("shuffle_hash"), Seq("vec_id"))
         .groupBy("va", "vb")
         .agg(
           first(when(col("vec_id") === col("va"), col("embedding")), ignoreNulls = true).as("ea"),
@@ -2383,11 +2387,23 @@ object SparkEntry {
     "q_minhash_error" -> ((s, dir) => {
       import graft.functions.TextFns._
       val docs = Tables.documents(s, dir)
-      val sig = minhashRows(docs, "doc_id", "text", 8)
-        .groupBy("doc_id")
-        .agg(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash")).as("sig"))
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // Per-doc 8-slot signature in ONE aggregation pass (the lshBandSigs
+      // r7 shape: k seed-minima as k columns, assembled row-locally into
+      // the seed-ordered array — bit-identical to the previous
+      // minhashRows → re-agg → docs join chain without its extra exchange
+      // and scan), MATERIALIZED once: the frame is referenced three times
+      // (banding + both per-side signature joins) and each lazy reference
+      // re-executes the whole minhash pipeline (was 9 parquet scans in
+      // the plan; now 2 + one checkpointed 1-row-per-doc frame).
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(distinctTokens(col("text"))).as("tok"))
+      val mins = (0 until 8).map(sd =>
+        min(md5Long(concat_ws("|", lit(sd).cast("string"), col("tok")))).as(s"__m$sd"))
+      val sig = toks.groupBy(col("doc_id"), col("source"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"), col("source"),
+          array((0 until 8).map(i => col(s"__m$i")): _*).as("sig"))
+        .localCheckpoint()
       val banded = sig.select(col("doc_id"), col("source"),
         posexplode(array((0 until 2).map(b =>
           md5Long(array_join(transform(slice(col("sig"), b * 4 + 1, 4),
@@ -2400,9 +2416,12 @@ object SparkEntry {
         .distinct()
       val sets = docs.select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("s"))
-      val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
-        .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
-      val exact = sets.join(wanted, Seq("doc_id"))
+      // pair-side fan-out as an explode of the one planned candidate
+      // subtree, not a self-union (the lshVerify r7 fix)
+      val wanted = cand.select(
+        explode(array(col("da"), col("db"))).as("doc_id"), col("da"), col("db"))
+      // SHUFFLE_HASH for the verify join (the lshVerify r7 rationale)
+      val exact = sets.join(wanted.hint("shuffle_hash"), Seq("doc_id"))
         .groupBy("da", "db")
         .agg(
           first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
@@ -2490,10 +2509,19 @@ object SparkEntry {
     */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
     import graft.functions.TextFns.md5Long
+    // The postings frame is MATERIALIZED once (r7): it is referenced by
+    // three consumers (the df count, the rare-bucket join side, and —
+    // via the per-doc regroup below — the verify sets), and each lazy
+    // reference re-executed the scan + trigram explode + md5 pipeline
+    // (3 planned copies measured in the r6 plan). One checkpoint of the
+    // small (doc_id, gh) frame feeds all three. On a multi-executor
+    // cluster swap localCheckpoint for persist(DISK_ONLY) — same trade
+    // as DupSpans.spansSkewSafe.
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), explode(trigramArr(col("a"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+      .localCheckpoint()
     // Candidates in two hot-key-safe stages: (1) df per shingle via a
     // map-side-combinable count (a boilerplate shingle partially
     // aggregates — never one task's buffer), filtered to rare BEFORE any
@@ -2516,14 +2544,19 @@ object SparkEntry {
     // re-joining per-gram postings and regrouping on (da, db, gh): the
     // array form ships each side once per pair instead of one shuffled
     // row per gram per pair.
-    // split projected as an attribute BEFORE trigramArr (the HOF CSE
-    // trap trigramArr's doc pins: an inlined split re-evaluates per
-    // lambda element — O(tokens²)/doc)
-    val sets = docs
-      .select(col("doc_id"), split(col("text"), " ").as("sa"))
-      .select(col("doc_id"),
-        array_distinct(transform(trigramArr(col("sa")),
-          t => md5Long(t))).as("s"))
+    // r7: the per-doc hash sets are regrouped from the CHECKPOINTED
+    // postings frame instead of a second scan + trigram pass — g's rows
+    // are already the per-doc distinct trigram hashes (trigramArr
+    // applies array_distinct before the explode), and the oracle's `sz`
+    // counts exactly these rows, so size(s) keeps matching it;
+    // array_intersect is order-insensitive, so the collect_list order
+    // difference vs the old transform form cannot change any output.
+    val sets = g.groupBy(col("doc_id"))
+      .agg(collect_list(col("gh")).as("s"))
+    // pair-side fan-out as an explode (see comment below) and SHUFFLE_HASH
+    // for the verify join (the lshVerify r7 rationale: broadcast planning
+    // funneled the set projection + join + partial aggregate into one
+    // single-partition stage)
     // Both fan-outs below are EXPLODES, not self-unions: a union re-plans
     // its input subtree per branch (cand holds 4 explode stages — a
     // 2-branch union of it and a 2-branch union of j multiply to 16
@@ -2533,7 +2566,7 @@ object SparkEntry {
     val wanted = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id"),
         col("da"), col("db"))
-    val j = sets.join(wanted, Seq("doc_id"))
+    val j = sets.join(wanted.hint("shuffle_hash"), Seq("doc_id"))
       .groupBy("da", "db")
       .agg(
         first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
@@ -2704,24 +2737,52 @@ object SparkEntry {
     */
   private[graft] def lshBandSigs(docs: DataFrame): DataFrame = {
     import graft.functions.TextFns._
-    val mh = minhashRows(docs, "doc_id", "text", 8)
-    mh.withColumn("band", (col("seed") / 4).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5Long(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-        x => x.getField("minhash").cast("string")), ",")).as("bkey"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // ONE aggregation pass (r7): the k seed-minima land as k columns of a
+    // single token-exploded groupBy — the band keys are then row-local
+    // md5s over the 4-column CSV slices, bit-identical to the previous
+    // explode → collect_list(sort by seed) → array_join round-trip but
+    // without its second exchange; `source` rides the grouping key
+    // (functionally dependent on doc_id) instead of a join back to the
+    // documents scan. Was: minhashRows → re-agg per (doc,band) → join
+    // docs — two extra stages per LSH-family query.
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(distinctTokens(col("text"))).as("tok"))
+    val mins = (0 until 8).map(s =>
+      min(md5Long(concat_ws("|", lit(s).cast("string"), col("tok")))).as(s"__m$s"))
+    val bands = (0 until 2).map(b =>
+      struct(lit(b).as("band"),
+        md5Long(concat_ws(",",
+          (4 * b until 4 * b + 4).map(i => col(s"__m$i").cast("string")): _*)).as("bkey")))
+    toks.groupBy(col("doc_id"), col("source"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array(bands: _*)).as("__b"), col("source"))
+      .select(col("doc_id"), col("__b.band").as("band"),
+        col("__b.bkey").as("bkey"), col("source"))
   }
 
   /** Exact-Jaccard verify of candidate pairs (da < db) → pairs with
     * jaccard ≥ 0.9. Resolves BOTH pair sides in one documents scan (pair
     * list exploded to (doc_id, pair) and regrouped), never re-tokenizing
-    * the corpus per side.
+    * the corpus per side. The pair-side fan-out is an EXPLODE of the one
+    * planned candidate subtree, not a self-union: a 2-branch union
+    * re-plans (and re-executes) the entire candidate pipeline per branch
+    * — exchange reuse does not fire across the union's aliases (the
+    * containmentPairs lesson, r7: 5 parquet scans → 3 in q_neardup_lsh's
+    * plan, one full minhash+banding+bucket pass saved per query).
     */
   private[graft] def lshVerify(docs: DataFrame, cand: DataFrame): DataFrame = {
     val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
-    val wanted = cand.select(col("da").as("doc_id"), col("da"), col("db"))
-      .unionByName(cand.select(col("db").as("doc_id"), col("da"), col("db")))
-    sets.join(wanted, Seq("doc_id"))
+    val wanted = cand.select(
+      explode(array(col("da"), col("db"))).as("doc_id"), col("da"), col("db"))
+    // SHUFFLE_HASH with the pair list as build side (r7): letting the
+    // planner broadcast here put the token-set projection + join + partial
+    // sort-aggregate into one single-partition stage (measured 4.6s vs
+    // 0.8s at sf0.1); a shuffled-hash join keys both sides by doc_id —
+    // the corpus side streams in parallel, the build side is the
+    // candidate slice of one partition (bounded, AQE-skew-splittable),
+    // and neither the corpus nor an at-scale-unbounded candidate list is
+    // ever collected to one place.
+    sets.join(wanted.hint("shuffle_hash"), Seq("doc_id"))
       .groupBy("da", "db")
       .agg(
         first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
