@@ -56,6 +56,22 @@ object SparkEntry {
     * quadratic split-inlined expression back in — measured 9.0s vs 1.7s
     * for q_ngram_novelty at sf0.1, plan-pinned by PlanShapeSpec.
     */
+  /** Scale-adaptive scan spread (r7, guide §2/§6): heavy ROW-LOCAL work
+    * (per-token md5 for minhash/shingles/CDC) inherits the scan's
+    * partitioning, and a small corpus arrives as ONE file → ONE task
+    * doing all the hashing while the rest of the machine idles. When the
+    * scan landed on fewer partitions than the session's parallelism,
+    * spread rows round-robin first (a sub-MB exchange at fixture size);
+    * at production scale a corpus scan already yields ≥ parallelism
+    * splits and this is the identity — the width is derived from the
+    * input, never a constant. Only used ahead of order-insensitive
+    * aggregations (min/count/sum or verified-pair outputs).
+    */
+  private[graft] def spreadSmallScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private[graft] def trigramArr(a: Column): Column =
     when(size(a) >= 3,
       array_distinct(transform(sequence(lit(1), size(a) - 2),
@@ -361,7 +377,8 @@ object SparkEntry {
 
     // ——— MinHash signatures (near-dup scale path) ———
     "q_minhash" -> ((s, dir) =>
-      graft.functions.TextFns.minhashRows(Tables.documents(s, dir), "doc_id", "text", 8)
+      graft.functions.TextFns.minhashRows(
+          spreadSmallScan(Tables.documents(s, dir)), "doc_id", "text", 8)
         .orderBy("doc_id", "seed")),
 
     // ——— SimHash (bit-majority fingerprint) ———
@@ -993,7 +1010,7 @@ object SparkEntry {
     // rather than recomputed on the aggregate side — the same trade as
     // q_dup_spans_skew, measured in tools/DupSkewBench.scala.
     "q_chunk_dedup_skew" -> ((s, dir) => {
-      val sigs = cdcChunkSigs(s, dir).localCheckpoint()
+      val sigs = cdcChunkSigs(s, dir, spread = false).localCheckpoint()
       val dupSigs = sigs.groupBy(col("sig"))
         .agg(count(lit(1)).as("n_occ"))
         .filter(col("n_occ") > 1)
@@ -1554,10 +1571,11 @@ object SparkEntry {
     // cost is Σ bucket² over ~2^9-value buckets, not Σ source².
     "q_simhash_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // no broadcast hint: the doc→source map is |docs|-sized (see
-      // q_neardup_lsh note); the optimizer picks by stats
-      val sh = graft.functions.TextFns.simhash(docs, "doc_id", "text")
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      // source rides the simhash grouping key (r7) — one fewer join back
+      // to the corpus scan (spread measured net-negative here: the 60
+      // conditional sums partial-aggregate well in one scan task)
+      val sh = graft.functions.TextFns.simhash(docs,
+        "doc_id", "text", carryCols = Seq("source"))
       val banded = graft.functions.TextFns.hashBands(sh, "simhash", 60, 7)
       // bucket grouping instead of a self-join — one pipeline, one extra
       // groupBy (see q_neardup_lsh note)
@@ -2395,7 +2413,7 @@ object SparkEntry {
       // (banding + both per-side signature joins) and each lazy reference
       // re-executes the whole minhash pipeline (was 9 parquet scans in
       // the plan; now 2 + one checkpointed 1-row-per-doc frame).
-      val toks = docs.select(col("doc_id"), col("source"),
+      val toks = spreadSmallScan(docs).select(col("doc_id"), col("source"),
         explode(distinctTokens(col("text"))).as("tok"))
       val mins = (0 until 8).map(sd =>
         min(md5Long(concat_ws("|", lit(sd).cast("string"), col("tok")))).as(s"__m$sd"))
@@ -2448,9 +2466,14 @@ object SparkEntry {
     * 16) boundaries → chunk strings → 60-bit sigs. Entirely row-local
     * higher-order Column algebra (one projection, no shuffle, no UDF).
     */
-  private def cdcChunkSigs(s: SparkSession, dir: String): DataFrame = {
+  private def cdcChunkSigs(s: SparkSession, dir: String,
+                           spread: Boolean = true): DataFrame = {
     import graft.functions.TextFns
-    Tables.documents(s, dir)
+    // spread before the md5-per-token chunking (r7, see spreadSmallScan);
+    // the skew twin materializes the projection and measured better
+    // keeping the scan's narrow layout for its checkpoint
+    val d = Tables.documents(s, dir)
+    (if (spread) spreadSmallScan(d) else d)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .withColumn("h", TextFns.cdcHashes(col("a")))
       .withColumn("cuts", TextFns.cdcCuts(col("a"), col("h")))
@@ -2468,7 +2491,12 @@ object SparkEntry {
                             skewSafe: Boolean): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
-    val agg = DupSpans.spans(docs, k = 5, skewSafe = skewSafe)
+    // spread only the shingle branch (md5 per k-window is the heavy
+    // row-local work); the tok_cnt branch is a cheap size() projection.
+    // The skew twin materializes the shingle projection (localCheckpoint
+    // inside dupPositions) and measured better on the narrow scan layout.
+    val agg = DupSpans.spans(if (skewSafe) docs else spreadSmallScan(docs),
+      k = 5, skewSafe = skewSafe)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1L).as("dup_tokens"))
@@ -2517,7 +2545,7 @@ object SparkEntry {
     // small (doc_id, gh) frame feeds all three. On a multi-executor
     // cluster swap localCheckpoint for persist(DISK_ONLY) — same trade
     // as DupSpans.spansSkewSafe.
-    val g = docs
+    val g = spreadSmallScan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), explode(trigramArr(col("a"))).as("gram"))
       .select(col("doc_id"), md5Long(col("gram")).as("gh"))
@@ -2745,7 +2773,7 @@ object SparkEntry {
     // (functionally dependent on doc_id) instead of a join back to the
     // documents scan. Was: minhashRows → re-agg per (doc,band) → join
     // docs — two extra stages per LSH-family query.
-    val toks = docs.select(col("doc_id"), col("source"),
+    val toks = spreadSmallScan(docs).select(col("doc_id"), col("source"),
       explode(distinctTokens(col("text"))).as("tok"))
     val mins = (0 until 8).map(s =>
       min(md5Long(concat_ws("|", lit(s).cast("string"), col("tok")))).as(s"__m$s"))

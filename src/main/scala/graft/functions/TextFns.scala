@@ -82,11 +82,16 @@ object TextFns {
   }
 
   /** 60-bit SimHash per doc: majority vote of token-hash bits (+1/-1 per
-    * distinct token). Input: (idCol, textCol); output: (idCol, simhash:long).
-    * Near-dups then differ in few bits (Hamming ball lookup at scale).
+    * distinct token). Input: (idCol, textCol); output: (idCol,
+    * carryCols..., simhash:long). Near-dups then differ in few bits
+    * (Hamming ball lookup at scale). `carryCols` ride the grouping key
+    * (r7) for columns functionally dependent on the id (e.g. source) —
+    * one fewer join back to the corpus scan for callers that need them.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val toks = df.select(col(idCol), explode(distinctTokens(col(textCol))).as("tok"))
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60,
+              carryCols: Seq[String] = Nil): DataFrame = {
+    val toks = df.select((col(idCol) +: carryCols.map(col) :+
+        explode(distinctTokens(col(textCol))).as("tok")): _*)
       .withColumn("h", md5Long(col("tok")))
     // one conditional-sum aggregate per bit instead of a x`bits` row
     // fan-out: the naive explode(doc x bit) form shuffled 60x the token
@@ -96,9 +101,9 @@ object TextFns {
     val contrib = (0 until bits)
       .map(b => when(col(s"__s$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
-    toks.groupBy(col(idCol))
+    toks.groupBy((col(idCol) +: carryCols.map(col)): _*)
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), contrib.as("simhash"))
+      .select((col(idCol) +: carryCols.map(col) :+ contrib.as("simhash")): _*)
   }
 
   /** Per-token 20-bit hashes — the rolling-hash input for content-defined

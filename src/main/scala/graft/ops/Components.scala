@@ -36,10 +36,6 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  private def symmetrize(edges: DataFrame, a: String, b: String): DataFrame =
-    edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
-
   /** @return (node, label) — label = min node id reachable from `node`;
     *         every node appearing in either edge column gets a row.
     */
@@ -76,61 +72,77 @@ object Components {
   }
 
   def minLabel(edges: DataFrame, a: String, b: String, maxIters: Int = 50): DataFrame = {
-    // symmetrize once; checkpoint so each round scans a materialized edge
-    // list instead of replaying the (possibly expensive) pair pipeline
-    val sym0 = symmetrize(edges, a, b).localCheckpoint()
-    val parts = graphParts(sym0.count())
-    val sym = if (sym0.rdd.getNumPartitions > parts * 4)
-      sym0.repartition(parts).localCheckpoint() else sym0
-    withShuffleParts(sym, parts) { minLabelLoop(sym, edges, a, b, maxIters) }
+    // Materialize the (possibly expensive) edge pipeline ONCE, BEFORE any
+    // union references it (r7): symmetrize is a two-branch union, and a
+    // union's branches each re-plan and re-execute their subtree — the
+    // old symmetrize-then-checkpoint ran the whole LSH pair pipeline
+    // twice per query. The symmetrized view is then a cheap two-branch
+    // union over the checkpoint blocks and needs no second
+    // materialization at fixture width (AQE leaves small pipelines at
+    // 1-2 partitions); a wide checkpoint gets the dst layout so no
+    // propagation round re-exchanges the edge side.
+    val ec = edges.select(col(a).as("src"), col(b).as("dst")).localCheckpoint()
+    val parts = graphParts(2L * ec.count())
+    val sym0 = ec.unionByName(ec.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = if (ec.rdd.getNumPartitions * 2 > parts * 4)
+      sym0.repartition(parts, col("dst")).localCheckpoint() else sym0
+    withShuffleParts(ec, parts) { minLabelLoop(sym, ec, maxIters) }
   }
 
-  private def minLabelLoop(sym: DataFrame, edges: DataFrame, a: String,
-                           b: String, maxIters: Int): DataFrame = {
+  private def minLabelLoop(sym: DataFrame, ec: DataFrame,
+                           maxIters: Int): DataFrame = {
     // seed = round 1 folded into initialization: with labels initialized to
     // node ids, the first propagation round computes exactly
     // min(node, min direct neighbor) — one aggregate over sym, no join
     var lbl = sym.groupBy(col("src").as("node")).agg(min(col("dst")).as("__mn"))
       .select(col("node"), least(col("node"), col("__mn")).as("label"))
       .localCheckpoint()
-    // one propagation step; extra columns on `l` (the carried round-start
-    // label) pass through the left join untouched
-    def step(l: DataFrame): DataFrame = {
-      val prop = sym.join(l.select(col("node").as("dst"), col("label").as("dlbl")), "dst")
-        .groupBy(col("src").as("node")).agg(min(col("dlbl")).as("nlbl"))
-      l.join(prop, Seq("node"), "left")
-        .select((col("node") +:
-          least(col("label"), coalesce(col("nlbl"), col("label"))).as("label") +:
-          l.columns.filterNot(c => c == "node" || c == "label").map(col).toSeq): _*)
-    }
+    // One propagation step in ONE join + ONE aggregate (r7): unioning the
+    // label frame into the aggregation input is the self-loop trick —
+    // min over {own label} ∪ {neighbor labels} ≡ the old
+    // propagate-then-least left join, with one fewer join and one fewer
+    // exchange per step (iterates are identical row-for-row: labels
+    // start at node ids and only decrease).
+    def step(l: DataFrame): DataFrame =
+      sym.join(l.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src").as("node"), col("label"))
+        .unionByName(l)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
     val debug = sys.env.get("GRAFT_COMPONENTS_DEBUG").contains("1")
+    // Convergence (r7): labels are positive, start at node ids, and only
+    // ever DECREASE, so the label sum is strictly monotone until the
+    // fixpoint — "sum unchanged across a fused pair" ⇔ both steps were
+    // no-ops ⇔ fixpoint. One exact decimal aggregate over the
+    // already-materialized checkpoint replaces the carried round-start
+    // label + change-flag column (decimal, not long: at 10¹² nodes a
+    // long sum of 10¹²-sized ids overflows).
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("label").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+        .head.getDecimal(0)
+    var prevSum = labelSum(lbl)
     var iter = 1 // the seed IS round 1
     var converged = false
     while (!converged && iter < maxIters) {
       iter += 2
       val t0 = if (debug) System.nanoTime() else 0L
-      // two fused steps between materializations: labels only ever
-      // decrease, so "no change across the fused pair" ⇔ both steps were
-      // no-ops ⇔ fixpoint — the carried round-start label (`label0`) makes
-      // convergence one cheap max() over the already-materialized
-      // checkpoint instead of a next⋈previous comparison join
-      val next = step(step(lbl.withColumn("label0", col("label"))))
-        .select(col("node"), col("label"),
-          (col("label") < col("label0")).cast("int").as("__chg"))
-        .localCheckpoint()
+      val next = step(step(lbl)).localCheckpoint()
       val t1 = if (debug) System.nanoTime() else 0L
-      converged = next.agg(coalesce(max(col("__chg")), lit(0))).head.getInt(0) == 0
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       if (debug) System.err.println(
         f"[components] fused round ending at $iter: checkpoint ${(t1 - t0) / 1e9}%.2fs " +
           f"converge-read ${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged")
-      lbl = next.drop("__chg")
+      lbl = next
     }
     if (!converged) {
       // giant-diameter component: propagation's O(diameter) loop is the
       // wrong algorithm — swap to the O(log n) contraction, same contract
+      // (handed the already-materialized edge checkpoint, not the
+      // original pipeline — the fallback must not re-run it)
       System.err.println(s"[components] minLabel hit the $maxIters-round cap " +
         "(giant-diameter component) — falling back to large-star/small-star contraction")
-      starContract(edges, a, b)
+      starContract(ec, "src", "dst")
     } else lbl
   }
 
@@ -151,11 +163,16 @@ object Components {
     * node, so the edge list IS the (node → label) mapping.
     */
   def starContract(edges: DataFrame, a: String, b: String, maxRounds: Int = 60): DataFrame = {
-    val nodes = edges.select(col(a).as("node"))
-      .unionByName(edges.select(col(b).as("node")))
-      .distinct().localCheckpoint()
-    val e0 = edges.select(col(a).as("u"), col(b).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // ONE materialization of the (possibly expensive) edge pipeline (r7):
+    // the old nodes-union + e0 chain referenced `edges` in three union/
+    // filter branches, executing the whole pair pipeline three times per
+    // query. `nodes` stays lazy over the checkpoint blocks — it is
+    // referenced once, by the final label join.
+    val ec = edges.select(col(a).as("u"), col(b).as("v")).localCheckpoint()
+    val nodes = ec.select(col("u").as("node"))
+      .unionByName(ec.select(col("v").as("node")))
+      .distinct()
+    val e0 = ec.filter(col("u") =!= col("v")).distinct().localCheckpoint()
     withShuffleParts(e0, graphParts(e0.count())) {
       starLoop(nodes, e0, maxRounds)
     }
@@ -203,23 +220,30 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    val debug = sys.env.get("GRAFT_COMPONENTS_DEBUG").contains("1")
     var sig = signature(e)
     var round = 0
     var done = sig._1 == 0L // no edges → all singletons
     while (!done && round < maxRounds) {
-      // ONE (large ∘ small) application per materialization — deliberately
-      // NOT fused like minLabel's step pairs: each star op references its
-      // input ~4× (the symmetrized union feeds both the neighborhood join
-      // and closedMin), so composing two rounds without a checkpoint
-      // REPLICATES the inner round's subplan ~16× in the outer plan —
-      // measured 21.5s vs 11.8s on the fixture graph. minLabel's step only
-      // references its input twice, which is why fusing pays there.
+      // ONE star op per materialization (r7) — each star op references
+      // its input ~4× (the symmetrized union feeds both the neighborhood
+      // join and closedMin), so even composing small∘large in one plan
+      // executed the inner largeStar ~4× per round; the same subplan-
+      // replication argument that kept two ROUNDS from fusing (measured
+      // 21.5s vs 11.8s on the fixture graph) applies one level down
+      // (measured again r7: 4.9s vs 3.0s of components time at sf0.1).
       round += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val t0 = if (debug) System.nanoTime() else 0L
+      val ls = largeStar(e).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
+      val t1 = if (debug) System.nanoTime() else 0L
       val s2 = signature(next)
       done = s2 == sig
       sig = s2
       e = next
+      if (debug) System.err.println(
+        f"[components] star round $round: materialize ${(t1 - t0) / 1e9}%.2fs " +
+          f"signature ${(System.nanoTime() - t1) / 1e9}%.2fs done=$done")
     }
     require(done, s"star contraction did not converge in $maxRounds rounds — " +
       "not a graph-shape issue (contraction is O(log n) on any shape); " +

@@ -44,8 +44,13 @@ object ComponentsBench {
           .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keeper"))
           .write.mode("overwrite").format("noop").save()
       }
+      val (lblStar, tStar) = sec {
+        graft.ops.Components.starContract(pairs, "da", "db").localCheckpoint()
+      }
+      val nStar = lblStar.count()
       println(f"rep $rep: pairs=$tPairs%.2fs (n=$nPairs) label=$tLabel%.2fs " +
-        f"(nodes=$nNodes) keeperJoin=$tJoin%.2fs total=${tPairs + tLabel + tJoin}%.2fs")
+        f"(nodes=$nNodes) star=$tStar%.2fs (nodes=$nStar) " +
+        f"keeperJoin=$tJoin%.2fs total=${tPairs + tLabel + tJoin}%.2fs")
     }
     spark.stop()
   }

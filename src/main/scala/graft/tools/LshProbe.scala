@@ -44,6 +44,19 @@ object LshProbe {
       graft.SparkEntry.queries("q_census_role")(spark, dir)
     }
     time("bandsigs") { graft.SparkEntry.lshBandSigs(docs) }
+    time("bandsigs spread32") {
+      graft.SparkEntry.lshBandSigs(docs.repartition(32))
+    }
+    time("pairs spread32") {
+      graft.SparkEntry.lshVerify(docs,
+        graft.SparkEntry.lshBandSigs(docs.repartition(32))
+          .groupBy("source", "band", "bkey")
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(col("ds")).as("da"), col("ds"))
+          .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
+          .distinct())
+    }
     time("cand") {
       graft.SparkEntry.lshBandSigs(docs).groupBy("source", "band", "bkey")
         .agg(collect_list(col("doc_id")).as("ds"))
