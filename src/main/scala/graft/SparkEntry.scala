@@ -390,9 +390,15 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, dir) => {
       import graft.functions.TextFns._
       // exact-baseline operator, bounded: the quadratic token join is the
-      // thing the LSH path (q_neardup_lsh) exists to avoid at scale
+      // thing the LSH path (q_neardup_lsh) exists to avoid at scale.
+      // Token frame materialized once (r7): the self-join's two aliases
+      // plus the two size joins re-planned the tokenize pipeline 4× —
+      // legitimate here because the operator is bounded by contract
+      // (doc_id < 1000), so the checkpoint is fixture-sized by the same
+      // argument that bounds the quadratic join itself.
       val toks = Tables.documents(s, dir).filter(col("doc_id") < 1000)
         .select(col("doc_id"), explode(distinctTokens(col("text"))).as("tok"))
+        .localCheckpoint()
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = toks.as("a").join(toks.as("b"),
           col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -3035,24 +3041,33 @@ object SparkEntry {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(df.collect().toSeq.asJava, df.schema)
     }
-    val cents = (1 to 3).foldLeft(seed) { (c, _) =>
-      pinCodebook(e.crossJoin(broadcast(c))
+    // Argmax per vector as a PARTIAL-AGGREGABLE max_by over the
+    // (d, −cent_id) struct (r7) — identical selection to the previous
+    // row_number window (rank 1 by d desc, cent_id asc: highest cosine,
+    // lowest id on ties — cent_id is unique within a vec_id so the struct
+    // order is total), but the k-way fan-out collapses map-side instead
+    // of shuffling k rows per vector into a window sort.
+    def assign(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
         .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
-        .filter(col("r") === 1)
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"),
+            struct(col("d"), (-col("cent_id")).as("nc"))).as("cell"),
+          first(col("embedding")).as("embedding"))
+    val cents = (1 to 3).foldLeft(seed) { (c, _) =>
+      pinCodebook(assign(c)
+        .select(col("cell").as("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cent_id", "pos").agg(avg(col("v").cast("double")).as("m"))
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => round(x.getField("m"), 6)).as("cv")))
     }
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("d", round(cosine(col("embedding"), col("cv")), 6))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cent_id"))))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // materialized once (r7): q_knn_ivf and q_semdedup each reference the
+    // assignment twice (query side + candidate side), and each lazy
+    // reference re-ran the crossJoin + argmax pass
+    val assigned = assign(cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
     (cents, assigned)
   }
 

@@ -125,7 +125,13 @@ object Windowed {
         greatest((col("__dur_s") / stepSeconds).cast("int") - 1, lit(0)))))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"), col("rep"))))
-    val wPos = Window.partitionBy(col("conv_id")).orderBy(col("pos"))
+    // speed windows order by the SAME keys the pos row_number sorted on
+    // (r7): `pos` IS row_number over (turn_idx, rep), so ordering by
+    // (turn_idx, rep) is the identical row order — but spelled this way
+    // Spark sees the existing sort satisfies the window's requirement and
+    // plans no second sort (ordering by the derived `pos` column forced a
+    // re-sort of every partition)
+    val wPos = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"), col("rep"))
     resampled
       .withColumn("speed",
         (col("text_len") - lag(col("text_len"), 1).over(wPos)) / stepSeconds)

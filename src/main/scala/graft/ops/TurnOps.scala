@@ -124,7 +124,13 @@ object BlockedScan {
     require(blockRows > 0)
     val gapUs = gapSeconds * 1000000L
     val k = col(key)
+    // blocked input materialized once (r7): the plan references it four
+    // times (bounds, flags, offsets, final recombine), and each lazy
+    // reference re-derived the input pipeline. Same trade as
+    // DupSpans.spansSkewSafe — on a multi-executor cluster swap
+    // localCheckpoint for persist(DISK_ONLY).
     val blocked = turns.withColumn("__blk", (col(ord).cast("long") / blockRows).cast("int"))
+      .localCheckpoint()
     val wBlk = Window.partitionBy(k, col("__blk")).orderBy(col(ord))
 
     // per-block boundary frame: |blocks| rows — tiny relative to the data
