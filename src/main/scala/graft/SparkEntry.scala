@@ -515,13 +515,17 @@ object SparkEntry {
       val cand = buckets.select(explode(col("vs")).as("va"), col("vs"))
         .select(col("va"), explode(filter(col("vs"), v => v > col("va"))).as("vb"))
         .distinct()
+        .localCheckpoint() // feeds fan-out + prefilter (r7b)
       // pair-side fan-out as an explode of the one planned candidate
       // subtree + SHUFFLE_HASH verify join (the lshVerify r7 rationale:
       // a self-union re-plans the banding pipeline per branch, and
-      // broadcast planning funnels the verify into one task)
+      // broadcast planning funnels the verify into one task); candidate
+      // vec semi-filter before the embedding shuffle (guide §3.2)
+      val candIds = cand.select(explode(array(col("va"), col("vb"))).as("vec_id"))
       val wanted = cand.select(
         explode(array(col("va"), col("vb"))).as("vec_id"), col("va"), col("vb"))
-      e.join(wanted.hint("shuffle_hash"), Seq("vec_id"))
+      e.join(candIds, Seq("vec_id"), "left_semi")
+        .join(wanted.hint("shuffle_hash"), Seq("vec_id"))
         .groupBy("va", "vb")
         .agg(
           first(when(col("vec_id") === col("va"), col("embedding")), ignoreNulls = true).as("ea"),
@@ -674,14 +678,16 @@ object SparkEntry {
     // sources²-sized; nothing here grows with the corpus beyond the
     // pair pipeline itself.
     "q_dup_matrix" -> ((s, dir) => {
-      val pairs = neardupLshPairs(s, dir)
-      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      // r7b: `source` rides the pair pipeline (the band bucket key already
+      // contains it — pairs are within-source by construction, so sa ≡ sb
+      // and least/greatest of the two equal values is the value itself);
+      // the two pairs⋈corpus joins this replaced re-scanned the documents
+      // table twice per run for a column the bucket row already held.
+      val pairs = neardupLshPairs(s, dir, carrySource = true)
       pairs
-        .join(src.withColumnRenamed("doc_id", "da").withColumnRenamed("source", "sa"), Seq("da"))
-        .join(src.withColumnRenamed("doc_id", "db").withColumnRenamed("source", "sb"), Seq("db"))
-        .groupBy(least(col("sa"), col("sb")).as("src_a"),
-          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("source").as("src_a"))
         .agg(count(lit(1)).as("n_pairs"))
+        .select(col("src_a"), col("src_a").as("src_b"), col("n_pairs"))
         .orderBy("src_a", "src_b")
     }),
 
@@ -1811,15 +1817,21 @@ object SparkEntry {
     "q_semdedup" -> ((s, dir) => {
       import graft.functions.VectorFns._
       val (_, assigned) = ivfModel(s, dir)
-      val packed = assigned
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("m"))
-      val pairs = packed
-        .select(col("cell"), explode(col("m")).as("x"), col("m"))
-        .select(col("cell"), col("x"), explode(col("m")).as("y"))
-        .filter(col("y.vec_id") < col("x.vec_id"))
-        .select(col("cell"), col("x.vec_id").as("vid"),
-          round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cs"))
+      // Within-cell pairs via a cell-keyed SELF-EQUI-JOIN of the
+      // checkpointed assignment (r7b, VERDICT r6): the old whole-cell
+      // collect_list packed ~corpus/16 embeddings into ONE row before a
+      // double explode — a row-size bomb at scale and a single-task
+      // build per cell. The join form generates the identical y < x pair
+      // set (same cells, same members), is AQE-skew-splittable on the
+      // cell key, and recomputes nothing: `assigned` is materialized, so
+      // the two aliases read checkpoint blocks, not the k-means pipeline.
+      val pairs = assigned
+        .join(assigned.select(col("cell"),
+            col("vec_id").as("y_id"), col("embedding").as("y_emb")),
+          Seq("cell"))
+        .filter(col("y_id") < col("vec_id"))
+        .select(col("cell"), col("vec_id").as("vid"),
+          round(cosine(col("embedding"), col("y_emb")), 6).as("cs"))
       val dupFlags = pairs.groupBy(col("vid"))
         .agg(max((col("cs") >= 0.35).cast("int")).as("dup"))
       assigned.select(col("vec_id"), col("cell"))
@@ -2435,11 +2447,16 @@ object SparkEntry {
       val buckets = banded.groupBy("source", "band", "bkey")
         .agg(collect_list(col("doc_id")).as("ds"))
         .filter(size(col("ds")) > 1)
+      // candidate list materialized once; candidate-doc semi-filter before
+      // the token-set build (the lshVerify r7b shape, guide §3.2)
       val cand = buckets.select(explode(col("ds")).as("da"), col("ds"))
         .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
         .distinct()
-      val sets = docs.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("s"))
+        .localCheckpoint()
+      val candIds = cand.select(explode(array(col("da"), col("db"))).as("doc_id"))
+      val sets = docs.select(col("doc_id"), col("text"))
+        .join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
       // pair-side fan-out as an explode of the one planned candidate
       // subtree, not a self-union (the lshVerify r7 fix)
       val wanted = cand.select(
@@ -2566,11 +2583,15 @@ object SparkEntry {
     // scan feeds one reusable shuffle.
     val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10)).select("gh")
+    // Candidate pairs materialized once (r7b): the frame feeds the
+    // pair-side fan-out AND the candidate-doc prefilter below, and it is
+    // pairs-sized (bounded by C(10,2) per rare shingle).
     val cand = g.join(rare, Seq("gh"))
       .groupBy("gh").agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(col("ds")).as("da"), col("ds"))
       .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
       .distinct()
+      .localCheckpoint()
     // Verify in the lshVerify shape: pairs exploded to (doc_id, pair),
     // ONE trigram-set scan resolves both sides, intersection row-local
     // over the per-doc bounded hash arrays (sizes double as |A|/|B| —
@@ -2585,7 +2606,14 @@ object SparkEntry {
     // counts exactly these rows, so size(s) keeps matching it;
     // array_intersect is order-insensitive, so the collect_list order
     // difference vs the old transform form cannot change any output.
-    val sets = g.groupBy(col("doc_id"))
+    // Guide §3.2 (r7b): only docs that appear in some candidate pair need
+    // their hash set — the semi-join drops the rest of the corpus BEFORE
+    // the collect_list exchange builds per-doc arrays (AQE broadcasts the
+    // candidate id list while small; at scale the semi's doc_id exchange
+    // is the same one the groupBy needs and is reused).
+    val candIds = cand.select(explode(array(col("da"), col("db"))).as("doc_id"))
+    val sets = g.join(candIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(collect_list(col("gh")).as("s"))
     // pair-side fan-out as an explode (see comment below) and SHUFFLE_HASH
     // for the verify join (the lshVerify r7 rationale: broadcast planning
@@ -2752,16 +2780,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  private[graft] def neardupLshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** @param carrySource ride the bucket's `source` onto each emitted pair
+    *        (pairs are within-source BY CONSTRUCTION — the band bucket key
+    *        includes `source` — so the column is functionally dependent on
+    *        `da` and adding it to the pre-verify distinct cannot change the
+    *        pair set). Saves q_dup_matrix two corpus joins.
+    */
+  private[graft] def neardupLshPairs(s: SparkSession, dir: String,
+                                     carrySource: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, dir)
     val buckets = lshBandSigs(docs).groupBy("source", "band", "bkey")
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-    val cand = buckets
-      .select(explode(col("ds")).as("da"), col("ds"))
-      .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
-      .distinct()
-    lshVerify(docs, cand)
+    val cand0 = buckets
+      .select(col("source"), explode(col("ds")).as("da"), col("ds"))
+      .select(col("source"), col("da"),
+        explode(filter(col("ds"), d => d > col("da"))).as("db"))
+    val cand = (if (carrySource) cand0.select(col("da"), col("db"), col("source"))
+                else cand0.select(col("da"), col("db"))).distinct()
+    lshVerify(docs, cand, if (carrySource) Seq("source") else Nil)
   }
 
   /** Per-(doc, band) LSH signature rows `(doc_id, band, bkey, source)` —
@@ -2804,10 +2841,26 @@ object SparkEntry {
     * containmentPairs lesson, r7: 5 parquet scans → 3 in q_neardup_lsh's
     * plan, one full minhash+banding+bucket pass saved per query).
     */
-  private[graft] def lshVerify(docs: DataFrame, cand: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
-    val wanted = cand.select(
-      explode(array(col("da"), col("db"))).as("doc_id"), col("da"), col("db"))
+  private[graft] def lshVerify(docs: DataFrame, cand: DataFrame,
+                               carryCols: Seq[String] = Nil): DataFrame = {
+    // Candidate list materialized once (r7b): it feeds BOTH the pair-side
+    // fan-out and the candidate-doc prefilter below; a second lazy
+    // reference would re-plan (and re-execute) the whole banding/bucket
+    // pipeline. The frame is pairs-sized (≪ corpus by the LSH contract).
+    val candC = cand.localCheckpoint()
+    val ids = candC.select(explode(array(col("da"), col("db"))).as("doc_id"))
+    // Guide §3.2: drop non-candidate docs BEFORE their token arrays are
+    // built and shuffled — the semi-join pushes below the split()
+    // projection (PushDownLeftSemiAntiJoin), so only docs that appear in
+    // some candidate pair are ever tokenized into `s` or exchanged. AQE
+    // broadcasts the id list while it is small; at scale it plans as a
+    // shuffled semi whose doc_id exchange the verify join below reuses.
+    val sets = docs.select(col("doc_id"), col("text"))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
+    val wanted = candC.select(
+      explode(array(col("da"), col("db"))).as("doc_id") +:
+        (Seq("da", "db") ++ carryCols).map(col): _*)
     // SHUFFLE_HASH with the pair list as build side (r7): letting the
     // planner broadcast here put the token-set projection + join + partial
     // sort-aggregate into one single-partition stage (measured 4.6s vs
@@ -2817,14 +2870,15 @@ object SparkEntry {
     // and neither the corpus nor an at-scale-unbounded candidate list is
     // ever collected to one place.
     sets.join(wanted.hint("shuffle_hash"), Seq("doc_id"))
-      .groupBy("da", "db")
+      .groupBy(("da" +: "db" +: carryCols).map(col): _*)
       .agg(
         first(when(col("doc_id") === col("da"), col("s")), ignoreNulls = true).as("sa"),
         first(when(col("doc_id") === col("db"), col("s")), ignoreNulls = true).as("sb"))
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("i").cast("double") / (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jaccard") >= 0.9)
-      .select(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard"))
+      .select((Seq(col("da"), col("db"), round(col("jaccard"), 6).as("jaccard")) ++
+        carryCols.map(col)): _*)
   }
 
   /** Oracle twin of [[neardupLshPairs]]: the CTE chain up to `ver`

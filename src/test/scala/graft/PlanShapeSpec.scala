@@ -289,6 +289,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("semdedup: within-cell pairs via cell-keyed join, never a whole-cell pack") {
+    val p = plan("q_semdedup")
+    // the old form packed ~corpus/16 embeddings into ONE collect_list row
+    // per cell before a double explode — a row-size bomb at scale (VERDICT
+    // r6). Pairs must come from the cell-keyed self-equi-join of the
+    // materialized assignment: no list pack, no cartesian, and the join is
+    // AQE-skew-splittable on the cell key.
+    assert(count(p, "collect_list") == 0,
+      s"semdedup must not pack cells into collect_list rows:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
   test("minhash error: bucket-grouped candidates, no cartesian, no window") {
     val p = plan("q_minhash_error")
     assert(count(p, "CartesianProduct") == 0)
