@@ -1311,11 +1311,13 @@ object SparkEntry {
     // identical doubles identically), take the ranked PREFIX whose running
     // token sum fits the budget (40% of the source's tokens, computed in
     // exact integer arithmetic). One groupBy for budgets (broadcast — it is
-    // sources-sized) + one per-source window with a running sum: the same
-    // per-group-sort shape as q_gap_quantiles, and the same documented
-    // scale swap — at 10¹²-doc scale the exact rank prefix becomes an
-    // approx-quantile quality CUTOFF (select q ≥ cutoff chosen so expected
-    // tokens ≈ budget), identical plan minus the window sort. Selection is
+    // sources-sized) + the bucketed two-level running sum of
+    // [[graft.ops.Ranked.perSource]] (r7): per-source approx-quantile
+    // buckets, bucket token offsets, within-bucket running sum — exactly
+    // the old single per-source window value without its one-task-per-
+    // source sort, so the EXACT prefix rule survives at 10¹² docs (the
+    // previously documented approx-cutoff swap is no longer needed for
+    // scale — the exact form now scales). Selection is
     // prefix-of-ranked-list, not first-fit: a doc that overflows the budget
     // ends its source's intake (deterministic and engine-portable, where
     // first-fit backtracking is neither).
@@ -1325,13 +1327,16 @@ object SparkEntry {
         col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("tok_cnt"),
         round(TextFns.qualityScore(col("text")), 6).as("q"))
+        .localCheckpoint() // budgets + perSource (splits + rank) — was 2 scans
       val budgets = d.groupBy(col("source"))
         .agg(expr("(sum(tok_cnt) * 2) div 5").as("budget"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("q").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.join(broadcast(budgets), Seq("source"))
-        .withColumn("cum_toks", sum(col("tok_cnt")).over(w))
+      // running token sum via the bucketed two-level form (bucket token
+      // offsets + within-bucket running sum ≡ the old single per-source
+      // window, row for row — RankedSpec), no one-task-per-source sort
+      graft.ops.Ranked.perSource(d, "source", "q", "doc_id",
+          descQ = true, cumOf = Some("tok_cnt"))
+        .join(broadcast(budgets), Seq("source"))
+        .withColumn("cum_toks", col("__cum"))
         .filter(col("cum_toks") <= col("budget"))
         .select(col("doc_id"), col("source"), col("tok_cnt"), col("q"),
           col("cum_toks"))
@@ -2339,18 +2344,24 @@ object SparkEntry {
     // (6-dp-rounded q, doc_id) — a total order with no ties — so
     // percent_rank = (rank−1)/(n−1) is a correctly-rounded division of
     // exact integers in both engines (no stddev/mean float accumulation, a
-    // z-score's order-dependent sums would not hash-match). Plan: ONE
-    // per-source window sort, the q_mix_select shape, with the same
-    // documented 10¹²-doc scale swap (approx-quantile ECDF instead of the
-    // exact rank sort).
+    // z-score's order-dependent sums would not hash-match). Plan (r7):
+    // the rank comes from [[graft.ops.Ranked.perSource]] — approx-quantile
+    // buckets + bucket offsets + within-bucket row_number, EXACTLY equal
+    // to the old single per-source window sort (RankedSpec) without its
+    // one-task-per-source full sort (the registry's last scale-killer
+    // shape, VERDICT r6 #1); the n==1 guard reproduces percent_rank's
+    // pinned 0.0.
     "q_quality_calibrate" -> ((s, dir) => {
       import graft.functions.TextFns
       val d = Tables.documents(s, dir).select(
         col("doc_id"), col("source"),
         round(TextFns.qualityScore(col("text")), 6).as("q"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("q").asc, col("doc_id").asc)
-      d.withColumn("q_pct", round(percent_rank().over(w), 6))
+        .localCheckpoint() // referenced twice by perSource (splits + rank)
+      graft.ops.Ranked.perSource(d, "source", "q", "doc_id")
+        .withColumn("q_pct",
+          round(when(col("__n") === 1L, lit(0.0))
+            .otherwise((col("__rn") - 1L).cast("double") /
+              (col("__n") - 1L).cast("double")), 6))
         .select(col("doc_id"), col("source"), col("q"), col("q_pct"))
         .orderBy("doc_id")
     }),
@@ -2365,8 +2376,8 @@ object SparkEntry {
     // whose ×10-then-floor of an inexact double is a float boundary.
     // Each doc fans out to the thresholds it passes (explode ≤ 10 rows,
     // collapsed map-side by the partial aggregate — the shuffle is
-    // sources×10 at ANY corpus size); one per-source window sort (the
-    // calibrate shape, same documented approx-ECDF swap at 10¹² docs);
+    // sources×10 at ANY corpus size); the rank rides the bucketed
+    // two-level form (the calibrate r7 note — no per-source full sort);
     // a threshold row exists iff some doc passes it (single-doc sources
     // emit only t = 0.0 — bucket (n−1)=0 guard). Membership is the
     // EXACT rank ratio, not calibrate's 6-dp-rounded published q_pct:
@@ -2380,12 +2391,12 @@ object SparkEntry {
         col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("tok_cnt"),
         round(TextFns.qualityScore(col("text")), 6).as("q"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("q").asc, col("doc_id").asc)
+        .localCheckpoint() // referenced twice by perSource (splits + rank)
       val per = Window.partitionBy(col("source"))
-      val b = d
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(per))
+      // rank via the bucketed two-level form (no per-source full sort —
+      // the calibrate r7 note); bucket stays the exact integer tenth rule
+      val b = graft.ops.Ranked.perSource(d, "source", "q", "doc_id")
+        .withColumnRenamed("__rn", "rk").withColumnRenamed("__n", "n")
         .withColumn("bucket",
           least(expr("(10 * (rk - 1)) div greatest(n - 1, 1)"), lit(9L)))
       // src_toks IS the t=0 row's token sum (every doc has bucket ≥ 0),
