@@ -1667,6 +1667,10 @@ object SparkEntry {
 
     // ——— generic relational: broadcast dim join + multi-level agg ———
     "q_pricing_by_segment" -> ((s, dir) => {
+      // NOTE (r7, measured): spreading the 3-split lineitem scan to the
+      // session width before the broadcast joins + countDistinct expand
+      // was tried and REVERTED (+1.3s — the round-robin exchange plus
+      // 32-task expand cost more than the 3-task layout it replaced)
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
@@ -1712,8 +1716,19 @@ object SparkEntry {
         .orderBy("conv_id", "window_id")),
 
     // ——— W3 motion: resample → derivative → centered rolling mean ———
+    // Input re-laid at the session width (r7): motion's resample explode
+    // + three window passes are COMPUTE-heavy per row, and under the
+    // AQE-coalesced derivation exchange they ran on 2 tasks at fixture
+    // size (measured 1.3s across the two window stages). The explicit
+    // clusteredPartitions exchange is exempt from coalescing, so the
+    // window stack runs at the configured width at any scale; the same
+    // treatment was measured a NET LOSS for the cheap turn queries and
+    // the wide-row fused aggregates, so it stays per-query (Tables.turns
+    // note).
     "q_motion" -> ((s, dir) =>
-      graft.features.Windowed.motion(Tables.turns(s, dir), stepSeconds = 120, win = 2)
+      graft.features.Windowed.motion(
+          graft.ops.Ordered.clusteredPartitions(Tables.turns(s, dir), "conv_id"),
+          stepSeconds = 120, win = 2)
         .orderBy("conv_id", "pos")),
 
     // ——— J6 semi-join include list (limit_files analog) ———
@@ -2672,6 +2687,12 @@ object SparkEntry {
     val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
     val symCnt = size(filter(t, x =>
       x.contains("#") || x.contains("..."))).cast("long")
+    // FULLY-alphabetic tokens, an intentional deviation (ADVICE r6): the
+    // cited MassiveText rule (Rae et al. §A1.1) only requires a token to
+    // CONTAIN one alphabetic character; this corpus is single-line
+    // synthetic text where the strict form keeps the rule live (the
+    // contains-alpha form passes every token). Both engines implement the
+    // same strict predicate, so parity is unaffected.
     val alphaCnt = size(filter(t, x => x.rlike("\\A[A-Za-z]+\\z"))).cast("long")
     val stopCnt = size(filter(t, x =>
       x.isin("the", "a", "is", "of", "and", "to", "in"))).cast("long")
@@ -2733,8 +2754,17 @@ object SparkEntry {
       sum(col("n")).as("n_docs"), sum(col("toks")).as("total_tokens"),
       sum(col("short")).as("short_docs"),
       count(lit(1)).as("n_distinct_fp"))
+    // NULL-lang guard (ADVICE r6): the DuckDB twin's argmax key
+    // (printf('%020d', c) || lang) goes NULL for a NULL-lang group and
+    // max() skips it, while a bare max(struct(c, lang)) here would still
+    // let that group win on count. Wrapping the struct in a NULL-lang
+    // `when` reproduces the oracle's skip exactly (max ignores NULL
+    // inputs; an all-NULL-lang source yields a NULL top_lang both sides).
+    // Latent on this fixture (no NULL langs) — aligned for the general
+    // contract, output unchanged.
     val top = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
-      .groupBy("source").agg(max(struct(col("c"), col("lang"))).as("m"))
+      .groupBy("source").agg(
+        max(when(col("lang").isNotNull, struct(col("c"), col("lang")))).as("m"))
       .select(col("source"), col("m.lang").as("top_lang"),
         col("m.c").as("top_lang_cnt"))
     stats.join(broadcast(top), Seq("source"))

@@ -51,6 +51,15 @@ object Tables {
     // downstream operators cannot see the co-location and EnsureRequirements
     // inserts a second full-table shuffle (measured on the flagship plan).
     val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
+    // NOTE (r7, measured): pinning this exchange at the session width
+    // (explicit repartition, exempt from AQE coalescing) was tried and
+    // REVERTED — it widened every turn query's post-shuffle stages, and
+    // while the few compute-heavy ones won (q_motion −0.96s), the ~60
+    // cheap turn queries each paid +0.2-0.5s of per-task overhead and
+    // the wide-row fused aggregates paid per-task hashmap init ×10
+    // (q_feature_matrix_windowed_full +1.1s). AQE's byte-based
+    // coalescing is the right default here; the one query that needs
+    // width re-layouts its own input (see q_motion).
     events(spark, dir)
       .filter(col("event_id") % StateMod =!= 0)
       .select(convId.as("conv_id"), col("event_type"), col("event_id"),

@@ -36,8 +36,21 @@ object Ordered {
     * in-partition sort. Range layout ([[orderedPartitions]]) remains the
     * right contract for single-input window scans.
     */
-  def clusteredPartitions(df: DataFrame, key: String): DataFrame =
-    df.repartition(col(key))
+  def clusteredPartitions(df: DataFrame, key: String): DataFrame = {
+    // EXPLICIT width (r7): `repartition(col)` with no count lets AQE
+    // coalesce the post-shuffle side by BYTES (advisory 64MB), which at
+    // bench-fixture sizes folds the CPU-heavy window/as-of/aggregate
+    // stages that reuse this exchange onto 2-3 tasks while the rest of
+    // the machine idles — compute-bound stages must be sized by the
+    // session's configured width, not by shuffle bytes. The width is the
+    // session's `spark.sql.shuffle.partitions` (the scale-configured
+    // knob — the cluster run sets it to thousands, the local bench to
+    // its core count), NOT a constant; an explicit count is exempt from
+    // AQE coalescing, so the layout behaves identically whether
+    // coalescing is on (per-query bench) or off (scaling pairs).
+    val sp = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(sp, col(key))
+  }
 
   /** Salt helper for skewed heavy aggregates: adds `salt = hash-block` so a
     * single giant conversation splits across `blocks` tasks; callers do a

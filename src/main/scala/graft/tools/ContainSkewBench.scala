@@ -48,7 +48,9 @@ object ContainSkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // every doc: 12-token boilerplate prefix (10 corpus-hot trigrams) +
+    // every doc: 12-token boilerplate prefix (1 corpus-hot trigram —
+    // 'boiler boiler boiler' with df = nDocs after trigramArr's
+    // array_distinct — plus 2 per-doc boundary trigrams; ADVICE r6) +
     // 12-token unique tail; doc 100k is an exact copy of doc 100k+1
     // (same tail), so each planted pair shares ~10 df=2 trigrams
     def corpus(n: Long): org.apache.spark.sql.DataFrame = {
