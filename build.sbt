@@ -42,4 +42,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (local[32], 192 in-flight sort partitions) were GC-bound at 8g — max
   // heap is uncommitted until used, so tests are unaffected.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // r7 (measured, the single largest suite-level lever): Spark frees
+  // broadcast vars, checkpoint blocks and codegen classloaders through
+  // the GC-driven ContextCleaner — and with a 24g heap + UI off, a long
+  // many-query run may not GC for MINUTES, so dead blocks and Janino
+  // classes pile up in the block manager and metaspace until identical
+  // queries run 5-10x slower late in the suite (q_simhash 10.7s vs 1.2s
+  // in a fresh JVM). spark.cleaner.periodicGC.interval defaults to 30min;
+  // at 60s the cleaner keeps up and a full 122-query sweep measured
+  // 211.5s -> 144.7s (same code, same data, one JVM). MetaspaceSize lifts
+  // the first GC-triggering metaspace watermark (default 21MB) above the
+  // steady-state codegen footprint so class-space growth stops triggering
+  // extra collections. Scale-neutral JVM hygiene: production drivers/
+  // executors size these per deployment; nothing here depends on the
+  // local core count or fixture size.
+  "-XX:MetaspaceSize=1g",
+  // 120s, not 60s: the cleaner lag stays inside the fast regime (the
+  // unfixed probe only degraded after ~2-3 minutes of accumulation)
+  // while halving how often a collection can land inside a timed query.
+  "-Dspark.cleaner.periodicGC.interval=120s",
 )

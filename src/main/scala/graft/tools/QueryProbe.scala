@@ -41,13 +41,18 @@ object QueryProbe {
         spark.sparkContext.setJobDescription(s"$label run$i")
         val t0 = System.nanoTime()
         f.write.mode("overwrite").format("noop").save()
-        System.err.println(f"[probe] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val rt = Runtime.getRuntime
+        System.err.println(f"[probe] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          f"heapMB=${(rt.totalMemory - rt.freeMemory) / 1048576} " +
+          f"rdds=${spark.sparkContext.getPersistentRDDs.size}")
       }
       spark.sparkContext.setJobDescription(null)
     }
 
     time("warmup census") { graft.SparkEntry.queries("q_census_role")(spark, dir) }
-    for (n <- names) time(n) { graft.SparkEntry.queries(n)(spark, dir) }
+    val all = if (names == Seq("all"))
+      graft.SparkEntry.queries.keys.toSeq.sorted else names
+    for (n <- all) time(n) { graft.SparkEntry.queries(n)(spark, dir) }
     spark.stop()
   }
 }
