@@ -2586,19 +2586,27 @@ object SparkEntry {
     */
   private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
     import graft.functions.TextFns.md5Long
-    // The postings frame is MATERIALIZED once (r7): it is referenced by
-    // three consumers (the df count, the rare-bucket join side, and —
-    // via the per-doc regroup below — the verify sets), and each lazy
-    // reference re-executed the scan + trigram explode + md5 pipeline
-    // (3 planned copies measured in the r6 plan). One checkpoint of the
-    // small (doc_id, gh) frame feeds all three. On a multi-executor
-    // cluster swap localCheckpoint for persist(DISK_ONLY) — same trade
-    // as DupSpans.spansSkewSafe.
+    // The trigram-hash frame is MATERIALIZED once (r7): it is referenced
+    // by three consumers (the df count, the rare-bucket join side, and
+    // the verify sets), and each lazy reference re-executed the scan +
+    // trigram + md5 pipeline (3 planned copies measured in the r6 plan).
+    // On a multi-executor cluster swap localCheckpoint for
+    // persist(DISK_ONLY) — same trade as DupSpans.spansSkewSafe.
+    // r7b: the checkpoint holds ONE row per doc (the per-doc distinct
+    // trigram hash ARRAY) instead of one row per (doc, gram) — same
+    // bytes, ~10³× fewer rows through the block manager, and the verify
+    // `sets` frame below becomes a plain projection of the checkpoint
+    // (the old per-gram form needed a corpus-wide collect_list exchange
+    // to rebuild exactly this array). The md5-per-gram work is unchanged
+    // (one hash per distinct gram, row-local); postings for the df gate
+    // and the rare buckets are explodes OF the checkpoint, sharing its
+    // one gh exchange.
     val g = spreadSmallScan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .select(col("doc_id"), explode(trigramArr(col("a"))).as("gram"))
-      .select(col("doc_id"), md5Long(col("gram")).as("gh"))
+      .select(col("doc_id"),
+        transform(trigramArr(col("a")), gr => md5Long(gr)).as("hs"))
       .localCheckpoint()
+    val posting = g.select(col("doc_id"), explode(col("hs")).as("gh"))
     // Candidates in two hot-key-safe stages: (1) df per shingle via a
     // map-side-combinable count (a boilerplate shingle partially
     // aggregates — never one task's buffer), filtered to rare BEFORE any
@@ -2607,12 +2615,12 @@ object SparkEntry {
     // neardupLshPairs bucket→pair-explode shape without its self-join's
     // two-sided postings recompute. Both stages exchange g on gh, so the
     // scan feeds one reusable shuffle.
-    val rare = g.groupBy("gh").agg(count(lit(1)).as("df"))
+    val rare = posting.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 10)).select("gh")
     // Candidate pairs materialized once (r7b): the frame feeds the
     // pair-side fan-out AND the candidate-doc prefilter below, and it is
     // pairs-sized (bounded by C(10,2) per rare shingle).
-    val cand = g.join(rare, Seq("gh"))
+    val cand = posting.join(rare, Seq("gh"))
       .groupBy("gh").agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(col("ds")).as("da"), col("ds"))
       .select(col("da"), explode(filter(col("ds"), d => d > col("da"))).as("db"))
@@ -2625,22 +2633,18 @@ object SparkEntry {
     // re-joining per-gram postings and regrouping on (da, db, gh): the
     // array form ships each side once per pair instead of one shuffled
     // row per gram per pair.
-    // r7: the per-doc hash sets are regrouped from the CHECKPOINTED
-    // postings frame instead of a second scan + trigram pass — g's rows
-    // are already the per-doc distinct trigram hashes (trigramArr
-    // applies array_distinct before the explode), and the oracle's `sz`
-    // counts exactly these rows, so size(s) keeps matching it;
-    // array_intersect is order-insensitive, so the collect_list order
-    // difference vs the old transform form cannot change any output.
+    // The checkpoint row already holds the per-doc distinct trigram
+    // hashes (trigramArr applies array_distinct before hashing), and the
+    // oracle's `sz` counts exactly these elements, so size(s) keeps
+    // matching it; array_intersect is order-insensitive, so element
+    // order cannot change any output.
     // Guide §3.2 (r7b): only docs that appear in some candidate pair need
-    // their hash set — the semi-join drops the rest of the corpus BEFORE
-    // the collect_list exchange builds per-doc arrays (AQE broadcasts the
-    // candidate id list while small; at scale the semi's doc_id exchange
-    // is the same one the groupBy needs and is reused).
+    // their hash set — and the checkpoint row IS the set, so the verify
+    // side is a semi-filtered projection (no regroup exchange at all; AQE
+    // broadcasts the candidate id list while small).
     val candIds = cand.select(explode(array(col("da"), col("db"))).as("doc_id"))
     val sets = g.join(candIds, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("gh")).as("s"))
+      .select(col("doc_id"), col("hs").as("s"))
     // pair-side fan-out as an explode (see comment below) and SHUFFLE_HASH
     // for the verify join (the lshVerify r7 rationale: broadcast planning
     // funneled the set projection + join + partial aggregate into one
